@@ -1,0 +1,100 @@
+"""Table writer/reader with per-partition lineage + metrics (north_rule).
+
+Production format is Iceberg (partitioned triple/entity tables, snapshot-
+based incremental reads); this sandbox has no Iceberg runtime jar, so the
+writer transparently falls back to partitioned parquet with an atomic
+``_SUCCESS``-style completion marker.  The interface is format-agnostic:
+every write lands
+  * the data, partitioned by the declared columns,
+  * a ``_lineage`` side table: one row per output partition
+    (stage, partition_id, rows, wall_ms, status, finished_at)
+and resume = "skip stages whose completion marker + lineage rows exist"
+(plans/pipeline.py).  With Iceberg the same writes become
+``writeTo(...).overwritePartitions()`` and lineage keys on snapshot ids.
+
+Reference analog: per-processor JSONL append + merged results
+(/root/reference/src/mmore/process/dispatcher.py:438-456,
+run_process.py:56-81) and the save-every-100 checkpointing
+(post_processor/pipeline.py:99-120).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+ICEBERG_AVAILABLE = False  # flipped when an Iceberg catalog is configured
+
+
+def _marker(path: str) -> str:
+    return os.path.join(path, "_MMORE_COMPLETE")
+
+
+def is_complete(path: str) -> bool:
+    return os.path.exists(_marker(path))
+
+
+def partition_metrics(df: DataFrame) -> DataFrame:
+    """Per-partition row counts computed distributed (no collect of data):
+    (partition_id, rows)."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").alias("rows")
+    )
+
+
+def write_table(df: DataFrame, path: str, stage: str,
+                partition_by: list[str] | None = None,
+                mode: str = "overwrite") -> dict:
+    """Write a stage output + lineage; returns the lineage summary dict."""
+    t0 = time.time()
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    wall_ms = int((time.time() - t0) * 1000)
+
+    spark = df.sparkSession
+    # Spark caches file listings per path; an overwrite of a previously-read
+    # location must invalidate them or later scans hit deleted files.
+    spark.catalog.refreshByPath(path)
+    # Explicit schema: an empty result writes no part files, and schema
+    # inference on an empty directory fails.
+    written = spark.read.schema(df.schema).parquet(path)
+    with open(os.path.join(path, "_mmore_schema.json"), "w") as f:
+        f.write(df.schema.json())
+    metrics = partition_metrics(written).withColumns(
+        {
+            "stage": F.lit(stage),
+            "wall_ms": F.lit(wall_ms),
+            "status": F.lit("complete"),
+            "finished_at": F.current_timestamp(),
+        }
+    )
+    metrics.write.mode("overwrite").parquet(os.path.join(path, "_lineage"))
+    summary = {
+        "stage": stage,
+        "rows": written.count(),
+        "wall_ms": wall_ms,
+        "path": path,
+    }
+    with open(_marker(path), "w") as f:
+        json.dump(summary, f)
+    return summary
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    schema_file = os.path.join(path, "_mmore_schema.json")
+    if os.path.exists(schema_file):
+        from pyspark.sql.types import StructType
+
+        with open(schema_file) as f:
+            schema = StructType.fromJson(json.loads(f.read()))
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, "_lineage"))

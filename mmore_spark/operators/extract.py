@@ -1,0 +1,237 @@
+"""Batched mention detection + triple extraction (SURVEY.md §2.6).
+
+Reference flow: prompt | llm | output_parser per document
+(/root/reference/src/mmore/process/post_processor/ner/ner.py:18-31,
+extractor.py:53,92-120).  The LLM emits ``##``-separated records
+``("entity"<|>NAME<|>TYPE<|>DESC)`` /
+``("relationship"<|>SRC<|>TGT<|>DESC<|>STRENGTH)`` terminated by
+``<|COMPLETE|>`` (_prompts.py:3-126); the parser builds a per-doc
+undirected graph (output_parser.py:48-143).
+
+Spark shape: ONE Arrow-batched stage (``mapInPandas``) per the
+north_rule's "no per-row Python": extractor + parser run vectorized over
+pandas batches; the result explodes into ``mentions`` and ``triples``
+DataFrames.  The extractor is pluggable (the reference's LLM seam,
+rag/llm.py) — the default is a deterministic rule extractor over the
+closed corpus vocabulary, emitting the SAME delimited record format so the
+parser semantics below are exercised end-to-end.
+
+Parser semantics ported exactly, including the quirks:
+  * the tag attr includes literal double quotes ('"entity"',
+    output_parser.py:49,84);
+  * names/types are UPPERCASED then cleaned (html-unescape + control-char
+    strip, output_parser.py:16-24,55-56,90-91); descriptions cleaned only;
+  * entity dedup within a doc: description set-union, keep non-empty type
+    (output_parser.py:59-70);
+  * relationship endpoints auto-created with empty type
+    (output_parser.py:99-110);
+  * duplicate undirected edge: weight accumulates, descriptions set-union
+    (output_parser.py:112-121);
+  * weight quirk: ``isinstance(str, numbers.Number)`` is always False
+    (output_parser.py:94-98) ⇒ every record contributes exactly 1.0.
+"""
+
+from __future__ import annotations
+
+import html
+import re
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..corpus import vocab
+from ..corpus.oracle import entity_description
+
+TUPLE_DELIM = "<|>"      # ner/extractor.py:20
+RECORD_DELIM = "##"      # ner/extractor.py:21
+COMPLETION_TAG = "<|COMPLETE|>"  # ner/extractor.py:22
+_CONTROL_RE = re.compile(r"[\x00-\x1f\x7f-\x9f]")
+_PAREN_RE = re.compile(r"^\(|\)$")
+
+
+def clean_str(s: str) -> str:
+    """Port of output_parser._clean_str (output_parser.py:16-24)."""
+    return _CONTROL_RE.sub("", html.unescape(s.strip()))
+
+
+def parse_records(raw: str) -> tuple[list[dict], list[dict]]:
+    """Parse one document's delimited records → (entities, edges).
+
+    Pure-Python twin of the reference parser, dict-based instead of
+    networkx (graphs-as-tables, SURVEY.md §1.3).
+    """
+    nodes: dict[str, dict] = {}
+    edges: dict[tuple[str, str], dict] = {}
+    for record in raw.split(RECORD_DELIM):
+        record = _PAREN_RE.sub("", record.strip())
+        attrs = record.split(TUPLE_DELIM)
+        if attrs[0] == '"entity"' and len(attrs) >= 4:
+            name = clean_str(attrs[1].upper())
+            etype = clean_str(attrs[2].upper())
+            desc = clean_str(attrs[3])
+            if name in nodes:
+                node = nodes[name]
+                node["descriptions"] = node["descriptions"] | {desc}
+                if etype != "":
+                    node["entity_type"] = etype
+            else:
+                nodes[name] = {"entity_type": etype, "descriptions": {desc}}
+        if attrs[0] == '"relationship"' and len(attrs) >= 5:
+            source = clean_str(attrs[1].upper())
+            target = clean_str(attrs[2].upper())
+            desc = clean_str(attrs[3])
+            weight = 1.0  # quirk: parse of attrs[-1] never fires (see module doc)
+            for endpoint in (source, target):
+                if endpoint not in nodes:
+                    nodes[endpoint] = {"entity_type": "", "descriptions": {""}}
+            key = (min(source, target), max(source, target))  # nx.Graph: unordered
+            if key in edges:
+                e = edges[key]
+                e["weight"] += weight
+                e["preds"] = e["preds"] | {desc}
+            else:
+                edges[key] = {"weight": weight, "preds": {desc}}
+    entities = [
+        {"entity_name": n, "entity_type": v["entity_type"],
+         "descriptions": sorted(v["descriptions"])}
+        for n, v in nodes.items()
+    ]
+    triples = [
+        {"subj": s, "obj": o, "pred": sorted(e["preds"]), "weight": e["weight"]}
+        for (s, o), e in edges.items()
+    ]
+    return entities, triples
+
+
+# --------------------------------------------------------------------------
+# Deterministic rule extractor (the pluggable "LLM")
+# --------------------------------------------------------------------------
+
+_EXTRACTOR_CACHE: list | None = None
+
+
+def _compiled_templates():
+    """Compile one regex per relation template with an alias-alternation
+    group on each side.  Compiled once per executor (the reference's
+    model-caching pattern, pdf_processor.py:37-68)."""
+    global _EXTRACTOR_CACHE
+    if _EXTRACTOR_CACHE is not None:
+        return _EXTRACTOR_CACHE
+    alias_type: dict[str, str] = {}
+    for etype, clusters in vocab.ALIAS_CLUSTERS.items():
+        for cluster in clusters:
+            for alias in cluster:
+                alias_type[alias] = etype
+    # longest-first so "Acme Corporation" wins over a would-be prefix
+    alternation = "|".join(re.escape(a) for a in sorted(alias_type, key=len, reverse=True))
+    compiled = []
+    for tmpl, _st, _ot, pred, weight in vocab.RELATION_TEMPLATES:
+        head, rest = tmpl.split("{s}")
+        mid, tail = rest.split("{o}")
+        pattern = re.compile(
+            re.escape(head) + f"({alternation})" + re.escape(mid)
+            + f"({alternation})" + re.escape(tail)
+        )
+        compiled.append((pattern, pred, weight))
+    _EXTRACTOR_CACHE = (compiled, alias_type)
+    return _EXTRACTOR_CACHE
+
+
+def rule_extract(text: str) -> str:
+    """Mention detection + record emission in the reference's delimited
+    format (the deterministic stand-in for the LLM call)."""
+    compiled, alias_type = _compiled_templates()
+    records: list[str] = []
+    for pattern, pred, weight in compiled:
+        for m in pattern.finditer(text):
+            subj, obj = m.group(1), m.group(2)
+            for name in (subj, obj):
+                etype = alias_type[name]
+                records.append(
+                    f'("entity"{TUPLE_DELIM}{name}{TUPLE_DELIM}{etype}'
+                    f"{TUPLE_DELIM}{entity_description(name, etype)})"
+                )
+            records.append(
+                f'("relationship"{TUPLE_DELIM}{subj}{TUPLE_DELIM}{obj}'
+                f"{TUPLE_DELIM}{pred}{TUPLE_DELIM}{weight})"
+            )
+    return RECORD_DELIM.join(records) + (RECORD_DELIM + COMPLETION_TAG if records else "")
+
+
+# --------------------------------------------------------------------------
+# Spark stage
+# --------------------------------------------------------------------------
+
+MENTIONS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("entity_name", T.StringType()),
+    T.StructField("entity_type", T.StringType()),
+    T.StructField("descriptions", T.ArrayType(T.StringType())),
+])
+TRIPLES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("subj", T.StringType()),
+    T.StructField("obj", T.StringType()),
+    T.StructField("pred", T.ArrayType(T.StringType())),
+    T.StructField("weight", T.DoubleType()),
+])
+_COMBINED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("entities", T.ArrayType(T.StructType(MENTIONS_SCHEMA.fields[1:]))),
+    T.StructField("triples", T.ArrayType(T.StructType(TRIPLES_SCHEMA.fields[1:]))),
+])
+
+Extractor = Callable[[str], str]
+
+
+def extract_combined(df: DataFrame, text_col: str = "text",
+                     extractor: Extractor | None = None) -> DataFrame:
+    """(doc_id, text) → (doc_id, entities, triples) via one Arrow stage."""
+    extract = extractor or rule_extract
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ents_col, trips_col = [], []
+            for text in pdf[text_col]:
+                entities, triples = parse_records(extract(text or ""))
+                ents_col.append(
+                    [(e["entity_name"], e["entity_type"], e["descriptions"]) for e in entities]
+                )
+                trips_col.append(
+                    [(t["subj"], t["obj"], t["pred"], t["weight"]) for t in triples]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "entities": ents_col, "triples": trips_col}
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(run, schema=_COMBINED_SCHEMA)
+
+
+def extract_mentions_triples(df: DataFrame, text_col: str = "text",
+                             extractor: Extractor | None = None
+                             ) -> tuple[DataFrame, DataFrame]:
+    """Full stage: returns (mentions_df, triples_df).
+
+    The combined frame is computed once; explode is a narrow op so Catalyst
+    pipelines it with the Arrow stage — reuse via cache is the caller's
+    call (plans/pipeline.py persists it between the two explodes).
+    """
+    combined = extract_combined(df, text_col, extractor)
+    mentions = combined.select("doc_id", F.explode("entities").alias("e")).select(
+        "doc_id",
+        F.col("e.entity_name").alias("entity_name"),
+        F.col("e.entity_type").alias("entity_type"),
+        F.col("e.descriptions").alias("descriptions"),
+    )
+    triples = combined.select("doc_id", F.explode("triples").alias("t")).select(
+        "doc_id",
+        F.col("t.subj").alias("subj"),
+        F.col("t.obj").alias("obj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.weight").alias("weight"),
+    )
+    return mentions, triples

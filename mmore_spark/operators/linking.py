@@ -1,0 +1,257 @@
+"""Cross-document entity linking & canonicalization (SURVEY.md §2.7 "NEW").
+
+The reference's only global entity key is the UPPERCASED surface name
+(/root/reference/src/mmore/process/post_processor/ner/output_parser.py:55) —
+exact-match linking.  This module adds the real thing, designed for
+10^12-doc scale:
+
+  1. **Blocking** — MinHash-LSH over the name's token set: P independent
+     min-hashes per name (md5-family, hashing.py), one blocking key per
+     (perm, min-hash) pair, candidate pairs = names sharing any key.
+     Pure DataFrame ops: explode → self-join → distinct.  Names sharing a
+     token collide with probability 1-(1-J)^P; P=12 gives >99% recall at
+     token-Jaccard ≥ 1/3 (covers abbreviation/suffix alias families).
+  2. **Verification** — a native-expression entity-resolution predicate:
+     digit tokens must match exactly as multisets (rejects "March 4, 2024"
+     vs "March 4, 2022"), and every word token of the shorter name must
+     prefix-match a token of the longer ("A. KELLER" ≲ "ALICE KELLER",
+     "ACME CORP" ≲ "ACME CORPORATION", "ZUG" ≲ "ZUG CITY").
+     No Python — array higher-order functions only.
+  3. **Connected components** — iterative min-label propagation over the
+     verified match edges (GraphFrames-style), driver-side loop with
+     ``localCheckpoint`` per iteration to cut lineage; alias clusters are
+     shallow so convergence is fast, and the loop is bounded.
+  4. **Canonical election** — per component, the most-mentioned surface
+     form wins (ties: lexicographic min) via one window rank.
+  5. **Rewrite** — triples' subj/obj mapped through the canonical map
+     (broadcast when dimension-sized; AQE otherwise), and the global
+     triple merge goes through two-phase SALTED aggregation
+     (operators/agg.py) because entity mentions are Zipf-skewed.
+
+Scale notes: step 1's join key space is (perm × hash) — uniform by
+construction; step 3 shuffles only the edge set (≪ mention count: distinct
+names only); nothing here touches per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..hashing import h60
+
+N_PERMUTATIONS = 12
+MAX_CC_ITERATIONS = 25
+
+
+# NOTE on lambda parameter names: PySpark names the SQL lambda variable
+# after the PYTHON parameter.  Same-named lambdas that end up nested in one
+# expression tree (Catalyst collapses withColumn chains!) silently resolve
+# to the wrong binding — observed as nondeterministic MinHash signatures.
+# Hence every HOF lambda in this module has a UNIQUE parameter name, and
+# the signature itself is a raw SQL expr with explicit variable names.
+
+
+def name_tokens(col) -> "F.Column":
+    """UPPER alnum word tokens of a name (native expressions)."""
+    cleaned = F.regexp_replace(F.upper(col), r"[^A-Z0-9 ]", "")
+    return F.filter(F.split(cleaned, r" +"), lambda ntk: F.length(ntk) > 0)
+
+
+def _digit_tokens(tokens) -> "F.Column":
+    return F.array_sort(F.filter(tokens, lambda dtk: dtk.rlike(r"^[0-9]+$")))
+
+
+def _word_tokens(tokens) -> "F.Column":
+    return F.filter(tokens, lambda wtk: ~wtk.rlike(r"^[0-9]+$"))
+
+
+def names_match(a_tokens, b_tokens) -> "F.Column":
+    """The verification predicate (module doc §2).
+
+    Three conjunctive rules (all native expressions):
+      * digit tokens equal as sorted multisets;
+      * ANCHOR: the names share ≥1 exact word token of length ≥3
+        (stops single-letter initials absorbing unrelated names:
+        "L. COSTA" vs "LUGANO" has no anchor);
+      * COVERAGE: every word token of the token-poorer name prefix-matches
+        (either direction) some token of the richer one.
+    """
+    prefix = lambda p1, p2: p2.startswith(p1) | p1.startswith(p2)  # noqa: E731
+    covered = lambda small, big: F.forall(  # noqa: E731
+        small, lambda cvs: F.exists(big, lambda cvb: prefix(cvs, cvb))
+    )
+    aw, bw = _word_tokens(a_tokens), _word_tokens(b_tokens)
+    long_words = lambda ts: F.filter(ts, lambda lwt: F.length(lwt) >= 3)  # noqa: E731
+    anchor = F.size(F.array_intersect(long_words(aw), long_words(bw))) > 0
+    words_ok = F.when(F.size(aw) <= F.size(bw), covered(aw, bw)).otherwise(covered(bw, aw))
+    digits_ok = _digit_tokens(a_tokens) == _digit_tokens(b_tokens)
+    return digits_ok & anchor & words_ok
+
+
+def minhash_signature_expr(tokens_expr: str, n_perm: int = N_PERMUTATIONS) -> "F.Column":
+    """array<long> of per-permutation min token hashes.
+
+    Raw SQL with explicit distinct lambda variable names (__p, __t) — see
+    the module NOTE; the hash matches hashing.h60_py(token, f"#perm{p}").
+    """
+    return F.expr(
+        f"transform(sequence(0, {n_perm - 1}), __p -> "
+        f"array_min(transform({tokens_expr}, __t -> "
+        f"cast(conv(substring(md5(concat(__t, '#perm', cast(__p as string))), 1, 15), "
+        f"16, 10) as bigint))))"
+    )
+
+
+def candidate_pairs(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:
+    """names(name) → distinct (name_a < name_b) candidate pairs via LSH.
+
+    Self-join key = (permutation index, min-hash value): uniform hash
+    domain, so no skewed join keys regardless of token distribution.
+    """
+    sig = (
+        names.select("name")
+        .distinct()
+        .withColumn("tokens", name_tokens(F.col("name")))
+        .withColumn("sig", minhash_signature_expr("tokens", n_perm))
+        .select("name", F.posexplode("sig").alias("perm", "minv"))
+    )
+    left = sig.alias("a")
+    right = sig.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.perm") == F.col("b.perm"))
+            & (F.col("a.minv") == F.col("b.minv"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+
+
+def match_edges(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:
+    """Verified duplicate-name edges (name_a, name_b)."""
+    pairs = candidate_pairs(names, n_perm)
+    return (
+        pairs.withColumn("ta", name_tokens(F.col("name_a")))
+        .withColumn("tb", name_tokens(F.col("name_b")))
+        .filter(names_match(F.col("ta"), F.col("tb")))
+        .select("name_a", "name_b")
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iterations: int = MAX_CC_ITERATIONS) -> DataFrame:
+    """nodes(name), edges(name_a, name_b) → (name, component) where
+    component is the minimum 60-bit name hash in the component.
+
+    Min-label propagation with a driver-side convergence loop; each
+    iteration localCheckpoints to cut lineage (SURVEY.md §4 custom-code
+    item (c)).  Iterations ≈ graph diameter; alias clusters are stars, so
+    2-3 rounds in practice — the loop is still bounded defensively.
+    """
+    labels = nodes.select("name").distinct().withColumn("component", h60(F.col("name")))
+    sym = (
+        edges.select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
+        .union(edges.select(F.col("name_b").alias("src"), F.col("name_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if sym.isEmpty():
+        return labels
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("name", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("n_min"))
+            .withColumnRenamed("src", "name")
+        )
+        updated = (
+            labels.join(neighbor_min, "name", "left")
+            .select(
+                "name",
+                F.least(F.col("component"), F.coalesce(F.col("n_min"), F.col("component")))
+                .alias("component"),
+                (F.coalesce(F.col("n_min"), F.col("component")) < F.col("component"))
+                .alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def canonicalize(mentions: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:
+    """mentions(doc_id, entity_name, entity_type, …) → canonical entity map:
+
+        (name, component, canonical_name, canonical_id, entity_type,
+         n_mentions)
+
+    Canonical form = the most-mentioned surface name in the component
+    (ties → lexicographically smallest); canonical_id = 60-bit hash of the
+    canonical name.  The returned map has one row per distinct surface
+    name — dimension-sized, broadcastable downstream.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        mentions.groupBy(F.col("entity_name").alias("name"))
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.max_by("entity_type", F.length(F.coalesce("entity_type", F.lit(""))))
+            .alias("entity_type"),
+        )
+    )
+    edges = match_edges(counts.select("name"), n_perm)
+    comps = connected_components(counts.select("name"), edges)
+    labeled = counts.join(comps, "name")
+    w = (
+        Window.partitionBy("component")
+        .orderBy(F.desc("n_mentions"), F.asc("name"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    elected = labeled.withColumn("canonical_name", F.first("name").over(w)).withColumn(
+        "canonical_id", h60(F.col("canonical_name"))
+    )
+    return elected.select(
+        "name", "component", "canonical_name", "canonical_id", "entity_type", "n_mentions"
+    )
+
+
+def entities_table(canonical_map: DataFrame) -> DataFrame:
+    """Final entities table: one row per canonical entity with its alias
+    members (FIXTURES.md golden_entities shape)."""
+    return (
+        canonical_map.groupBy("canonical_id", "canonical_name")
+        .agg(
+            F.max_by("entity_type", "n_mentions").alias("entity_type"),
+            F.sort_array(F.collect_set("name")).alias("members"),
+            F.sum("n_mentions").alias("n_mentions"),
+        )
+    )
+
+
+def rewrite_triples(triples: DataFrame, canonical_map: DataFrame) -> DataFrame:
+    """Rewrite triples' subj/obj to canonical names; keep the unordered-
+    pair orientation (subj <= obj).  The map is dimension-sized →
+    broadcast both joins; at extreme cardinality drop the hint and let
+    AQE choose."""
+    cmap = F.broadcast(canonical_map.select("name", "canonical_name"))
+    out = (
+        triples.join(cmap.withColumnRenamed("name", "subj")
+                     .withColumnRenamed("canonical_name", "subj_c"), "subj", "left")
+        .join(cmap.withColumnRenamed("name", "obj")
+              .withColumnRenamed("canonical_name", "obj_c"), "obj", "left")
+        .withColumn("subj_cc", F.coalesce("subj_c", "subj"))
+        .withColumn("obj_cc", F.coalesce("obj_c", "obj"))
+    )
+    return out.select(
+        "doc_id",
+        F.least("subj_cc", "obj_cc").alias("subj"),
+        F.greatest("subj_cc", "obj_cc").alias("obj"),
+        "pred",
+        "weight",
+    )

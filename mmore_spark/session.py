@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Single place where engine-level Spark tuning lives so tests, bench and the
+driver entrypoint all run the same configuration.  On a real cluster the
+same builder is used via ``spark-submit --py-files mmore_spark.zip``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[N] sandbox; on a 1000-executor cluster the
+# shuffle-partition count is superseded by AQE coalescing (enabled below),
+# so these remain safe at scale.
+_BASE_CONF = {
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting — the production answer to the reference's best-fit-
+    # decreasing bin packing (dispatcher.py:367-408 in the reference).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow everywhere: pandas UDFs and createDataFrame/toPandas hops.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    # Local parallelism default; AQE may coalesce below this.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # Broadcast joins for dimension-sized sides (canonical-entity maps at
+    # small SF; at production scale AQE converts eligible joins anyway).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(app: str = "mmore_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to local[$SPARK_GRAFT_CPUS] in the sandbox; under
+    spark-submit the configured cluster master wins (we only set it when
+    explicitly asked, so cluster deploys are unaffected).
+    """
+    builder = SparkSession.builder.appName(app)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_BASE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

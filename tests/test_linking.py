@@ -1,0 +1,98 @@
+"""Entity-linking tests: LSH blocking recall, match-predicate precision,
+connected components, canonical clusters vs the golden alias clusters."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from mmore_spark.corpus import oracle, vocab
+from mmore_spark.operators import linking
+
+
+def _surfaced_names(docs):
+    names = set()
+    for d in docs:
+        for p in d.plants:
+            names.add(p.subj.upper())
+            names.add(p.obj.upper())
+    return names
+
+
+def test_match_predicate_separates_alias_families(spark):
+    """Every within-cluster alias pair must match; cross-cluster pairs must
+    not (vocabulary-wide exhaustive check of the ER predicate)."""
+    pairs = []
+    clusters = []
+    for etype, cs in vocab.ALIAS_CLUSTERS.items():
+        for ci, c in enumerate(cs):
+            clusters.append((f"{etype}:{ci}", [a.upper() for a in c]))
+    for cid, members in clusters:
+        for a, b in itertools.combinations(members, 2):
+            pairs.append((a, b, True))
+    flat = [(cid, m) for cid, ms in clusters for m in ms]
+    import random
+
+    rng = random.Random(7)
+    for _ in range(4000):
+        (c1, a), (c2, b) = rng.sample(flat, 2)
+        if c1 != c2:
+            pairs.append((a, b, False))
+
+    df = spark.createDataFrame(pairs, ["a", "b", "expected"]).withColumn(
+        "got",
+        linking.names_match(linking.name_tokens(F.col("a")),
+                            linking.name_tokens(F.col("b"))),
+    )
+    wrong = df.filter(F.col("got") != F.col("expected"))
+    rows = wrong.limit(10).collect()
+    assert not rows, [(r["a"], r["b"], r["expected"]) for r in rows]
+
+
+def test_lsh_blocking_recall(spark, small_docs):
+    """Candidate generation must surface (almost) every true alias pair
+    among surfaced names; the verification step handles precision."""
+    names = sorted(_surfaced_names(small_docs))
+    canon = vocab.canonical_of()
+    truth = {
+        tuple(sorted((a, b)))
+        for a, b in itertools.combinations(names, 2)
+        if canon.get(a, (a,))[0] == canon.get(b, (b,))[0]
+    }
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    cands = {
+        (r["name_a"], r["name_b"]) for r in linking.candidate_pairs(df).collect()
+    }
+    missed = truth - cands
+    assert len(missed) <= max(1, int(0.02 * len(truth))), sorted(missed)[:10]
+
+
+def test_connected_components_chain(spark):
+    nodes = spark.createDataFrame([(n,) for n in "ABCDEFG"], ["name"])
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("D", "E")], ["name_a", "name_b"]
+    )
+    comps = {r["name"]: r["component"] for r in
+             linking.connected_components(nodes, edges).collect()}
+    assert comps["A"] == comps["B"] == comps["C"]
+    assert comps["D"] == comps["E"]
+    assert comps["A"] != comps["D"]
+    assert len({comps["F"], comps["G"], comps["A"], comps["D"]}) == 4
+
+
+def test_canonical_clusters_match_golden(spark, small_docs, small_docs_df):
+    from mmore_spark.functions.spans import render_text
+    from mmore_spark.operators import extract
+
+    rendered = small_docs_df.select("doc_id", render_text("spans").alias("text"))
+    mentions, _ = extract.extract_mentions_triples(rendered)
+    cmap = linking.canonicalize(mentions)
+    got_clusters = {}
+    for r in cmap.collect():
+        got_clusters.setdefault(r["component"], set()).add(r["name"])
+    got = {frozenset(v) for v in got_clusters.values()}
+    golden = {frozenset(v) for v in oracle.golden_clusters(small_docs).values()}
+    # cluster sets must be identical (exact recovery of alias families)
+    assert got == golden, (
+        sorted(map(sorted, got - golden))[:5],
+        sorted(map(sorted, golden - got))[:5],
+    )
