@@ -1,0 +1,650 @@
+"""Driver-facing query registry: every entry has a Spark plan and (where
+SQL-expressible) a DuckDB oracle twin generated from the SAME builder
+(sqlgen dialects), so the two sides are semantically identical by
+construction.
+
+Conventions (driver contract):
+  * each Spark callable takes (spark, sf_dir) and reads
+    ``{sf_dir}/{table}.parquet``;
+  * the DuckDB oracle references bare table names (the driver pre-registers
+    the views);
+  * every computed column is aliased IDENTICALLY on both sides;
+  * floats that undergo engine-specific arithmetic are rounded and cast to
+    double on both sides.
+
+Operator ↔ reference map (SURVEY.md §2): see each query's docstring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .corpus import derive
+from .sqlgen import DUCK, SPARK, Dialect, sql_quote
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql_query(name: str, build_sql: Callable[[Dialect], str]) -> None:
+    """Register a query whose Spark plan is the SPARK-dialect SQL (fully
+    Catalyst-optimized) and whose oracle is the DUCK-dialect SQL."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        return spark.sql(build_sql(SPARK))
+
+    QUERIES[name] = run
+    ORACLE[name] = build_sql(DUCK)
+
+
+def _df_query(name: str, fn: Callable[[SparkSession, str], DataFrame],
+              oracle_sql: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle_sql is not None:
+        ORACLE[name] = oracle_sql
+
+
+# ===========================================================================
+# KG extraction over the deterministically-derived corpus (SURVEY.md §2.6)
+# ===========================================================================
+
+def _kg_triples_sql(d: Dialect) -> str:
+    """Per-doc triple extraction: 12 template regexes over the augmented
+    text (planted-sentence derivation, corpus/derive.py).  Reference
+    semantics: names UPPERCASED (output_parser.py:55), one record per
+    matched relationship."""
+    t2 = derive.text2_sql(d)
+    arms = []
+    for pattern, pred, _st, _ot in derive.extraction_patterns():
+        p = sql_quote(pattern)
+        arms.append(
+            f"SELECT doc_id, upper(regexp_extract(t2, {p}, 1)) AS subj, "
+            f"{sql_quote(pred)} AS pred, upper(regexp_extract(t2, {p}, 2)) AS obj "
+            f"FROM base WHERE regexp_extract(t2, {p}, 1) <> ''"
+        )
+    return f"WITH base AS (SELECT doc_id, {t2} AS t2 FROM documents)\n" + "\nUNION ALL\n".join(arms)
+
+
+def _kg_triples_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan: ONE scan — planted text via broadcast dimension joins
+    (derive.augmented), then all 12 extraction regexes evaluated in a
+    single projection and exploded.  The SQL-generated twin (12 UNION
+    arms, giant CASE) re-scans 12× and overflows janino codegen; this
+    shape is what survives at 100 TB."""
+    derive.augmented(spark, sf_dir).createOrReplaceTempView("__aug")
+    structs = []
+    for pattern, pred, _st, _ot in derive.extraction_patterns():
+        p = sql_quote(pattern)
+        structs.append(
+            f"named_struct('subj', regexp_extract(t2, {p}, 1), "
+            f"'pred', {sql_quote(pred)}, 'obj', regexp_extract(t2, {p}, 2))"
+        )
+    arr = "array(" + ", ".join(structs) + ")"
+    return spark.sql(
+        f"SELECT doc_id, upper(m.subj) AS subj, m.pred AS pred, upper(m.obj) AS obj "
+        f"FROM __aug LATERAL VIEW explode({arr}) x AS m WHERE m.subj <> ''"
+    )
+
+
+_df_query("kg_triples", _kg_triples_spark, None)
+ORACLE["kg_triples"] = _kg_triples_sql(DUCK)
+
+
+def _kg_mentions_sql(d: Dialect) -> str:
+    """Entity mentions with types (subject and object slots of each
+    matched template; distinct per doc — output_parser.py:59-70 node dedup)."""
+    t2 = derive.text2_sql(d)
+    arms = []
+    for pattern, _pred, stype, otype in derive.extraction_patterns():
+        p = sql_quote(pattern)
+        arms.append(
+            f"SELECT doc_id, upper(regexp_extract(t2, {p}, 1)) AS entity_name, "
+            f"{sql_quote(stype)} AS entity_type FROM base "
+            f"WHERE regexp_extract(t2, {p}, 1) <> ''"
+        )
+        arms.append(
+            f"SELECT doc_id, upper(regexp_extract(t2, {p}, 2)) AS entity_name, "
+            f"{sql_quote(otype)} AS entity_type FROM base "
+            f"WHERE regexp_extract(t2, {p}, 2) <> ''"
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH base AS (SELECT doc_id, {t2} AS t2 FROM documents)\n"
+        f"SELECT DISTINCT doc_id, entity_name, entity_type FROM (\n{union}\n) m"
+    )
+
+
+def _kg_mentions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single extraction scan + broadcast pred→(subj/obj type) map."""
+    triples = _kg_triples_spark(spark, sf_dir)
+    types = spark.createDataFrame(
+        [(pred, st, ot) for _p, pred, st, ot in derive.extraction_patterns()],
+        "pred string, stype string, otype string",
+    )
+    joined = triples.join(F.broadcast(types), "pred")
+    subj = joined.select("doc_id", F.col("subj").alias("entity_name"),
+                         F.col("stype").alias("entity_type"))
+    obj = joined.select("doc_id", F.col("obj").alias("entity_name"),
+                        F.col("otype").alias("entity_type"))
+    return subj.unionByName(obj).distinct()
+
+
+_df_query("kg_mentions", _kg_mentions_spark, None)
+ORACLE["kg_mentions"] = _kg_mentions_sql(DUCK)
+
+
+def _kg_triples_global_duck() -> str:
+    """Oracle: plain GROUP BY over unordered pairs with reference merge
+    semantics (weight = record count: output_parser.py:94-117 quirk;
+    predicate set-union as sorted csv)."""
+    inner = _kg_triples_sql(DUCK)
+    return (
+        f"WITH t AS (\n{inner}\n)\n"
+        "SELECT least(subj, obj) AS subj, greatest(subj, obj) AS obj, "
+        "string_agg(DISTINCT pred, ',' ORDER BY pred) AS preds, "
+        "CAST(count(*) AS DOUBLE) AS weight, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM t GROUP BY 1, 2"
+    )
+
+
+def _kg_triples_global_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan: two-phase SALTED aggregation (operators/agg.py pattern)
+    — entity keys are skewed, a straight groupBy funnels hot pairs into
+    single reducers at scale."""
+    t = _kg_triples_spark(spark, sf_dir)
+    from .hashing import h60
+
+    salted = t.select(
+        F.least("subj", "obj").alias("s"),
+        F.greatest("subj", "obj").alias("o"),
+        "pred",
+        "doc_id",
+        F.pmod(h60(F.col("doc_id")), F.lit(16)).alias("_salt"),
+    )
+    partial = salted.groupBy("s", "o", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.collect_set("pred").alias("_p"),
+        F.collect_set("doc_id").alias("_d"),
+    )
+    return (
+        partial.groupBy("s", "o")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.array_distinct(F.flatten(F.collect_list("_p")))))
+            .alias("preds"),
+            F.sum("_n").cast("double").alias("weight"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("_d")))).cast("long")
+            .alias("n_docs"),
+        )
+        .select(F.col("s").alias("subj"), F.col("o").alias("obj"), "preds", "weight", "n_docs")
+    )
+
+
+_df_query("kg_triples_global", _kg_triples_global_spark, _kg_triples_global_duck())
+
+
+def _kg_entity_degree_sql(d: Dialect) -> str:
+    """Graph rollup: per entity, distinct-neighbor degree + total edge
+    weight (canonicalization-layer analytics)."""
+    inner = _kg_triples_sql(d)
+    return (
+        f"WITH t AS (\n{inner}\n),\n"
+        "e AS (SELECT least(subj, obj) AS a, greatest(subj, obj) AS b, count(*) AS w "
+        "FROM t GROUP BY 1, 2),\n"
+        "arms AS (SELECT a AS entity, b AS partner, w FROM e "
+        "UNION ALL SELECT b, a, w FROM e WHERE a <> b)\n"
+        "SELECT entity, CAST(count(DISTINCT partner) AS BIGINT) AS degree, "
+        "CAST(sum(w) AS DOUBLE) AS total_weight FROM arms GROUP BY entity"
+    )
+
+
+def _kg_entity_degree_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _kg_triples_spark(spark, sf_dir)
+    e = (
+        t.select(F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+    )
+    arms = e.select(F.col("a").alias("entity"), F.col("b").alias("partner"), "w").unionByName(
+        e.filter(F.col("a") != F.col("b")).select(
+            F.col("b").alias("entity"), F.col("a").alias("partner"), "w")
+    )
+    return arms.groupBy("entity").agg(
+        F.count_distinct("partner").cast("long").alias("degree"),
+        F.sum("w").cast("double").alias("total_weight"),
+    )
+
+
+_df_query("kg_entity_degree", _kg_entity_degree_spark, _kg_entity_degree_sql(DUCK))
+
+
+def _kg_span_render_sql(d: Dialect) -> str:
+    """Span interleaving contract check at driver scale: number of media
+    spans + rendered text length derived from the same hash in both
+    engines (full byte-equality is pytest-gated; FIXTURES.md §1)."""
+    t2 = derive.text2_sql(d)
+    h = d.h60("cast(doc_id as string)")
+    return (
+        f"SELECT doc_id, "
+        f"CASE cast({h} % 4 as int) WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END "
+        f"AS n_media, "
+        f"length({t2}) + 1 AS text_len "
+        f"FROM documents"
+    )
+
+
+_sql_query("kg_span_render", _kg_span_render_sql)
+
+
+# ===========================================================================
+# Taggers / text analysis (SURVEY.md §2.3 + training-data ops)
+# ===========================================================================
+
+def _tag_word_count_sql(d: Dialect) -> str:
+    """words_counter tagger: len(text.split()) (tagger/words.py:4-11)."""
+    words = "split(text, ' ')" if d.is_spark else "string_split(text, ' ')"
+    return (
+        f"SELECT doc_id, CAST({d.arr_len(words)} AS BIGINT) AS word_count, "
+        f"length(text) AS char_count FROM documents"
+    )
+
+
+_sql_query("tag_word_count", _tag_word_count_sql)
+
+
+def _tag_hash_sql(d: Dialect) -> str:
+    """TextHash tagger: md5 of text (tagger/hash.py:6-15)."""
+    return "SELECT doc_id, md5(text) AS text_md5 FROM documents"
+
+
+_sql_query("tag_hash", _tag_hash_sql)
+
+
+def _tag_token_stats_sql(d: Dialect) -> str:
+    """BPE-ish token counting: alnum token runs + distinct tokens."""
+    toks = d.rx_all("text", "[a-z0-9]+")
+    uniq = (
+        f"size(array_distinct({toks}))" if d.is_spark else f"len(list_distinct({toks}))"
+    )
+    return (
+        f"SELECT doc_id, CAST({d.arr_len(toks)} AS BIGINT) AS n_tokens, "
+        f"CAST({uniq} AS BIGINT) AS n_distinct_tokens FROM documents"
+    )
+
+
+_sql_query("tag_token_stats", _tag_token_stats_sql)
+
+
+def _tag_quality_sql(d: Dialect) -> str:
+    """Quality scoring: mean word length + stopword ratio (gopher/c4-style
+    signals, datatrove_wrapper.py:27-40 family) — rounded doubles."""
+    if d.is_spark:
+        words = "split(text, ' ')"
+        stop = "size(filter(split(text, ' '), __w -> __w IN ('the', 'a')))"
+    else:
+        words = "string_split(text, ' ')"
+        stop = "len(list_filter(string_split(text, ' '), __w -> __w IN ('the', 'a')))"
+    n = d.arr_len(words)
+    return (
+        f"SELECT doc_id, "
+        f"{d.double(f'round((length(text) + 1.0) / {n} - 1.0, 6)')} AS mean_word_len, "
+        f"{d.double(f'round({stop} * 1.0 / {n}, 6)')} AS stopword_ratio "
+        f"FROM documents"
+    )
+
+
+_sql_query("tag_quality", _tag_quality_sql)
+
+
+def _tag_lang_guess_sql(d: Dialect) -> str:
+    """lang_detector stand-in: stopword-ratio heuristic
+    (tagger/lang_detector.py:7-18 — real langdetect is a pandas-UDF path;
+    the oracle-checkable version is the native heuristic)."""
+    if d.is_spark:
+        stop = "size(filter(split(text, ' '), __w -> __w IN ('the', 'a')))"
+        n = "size(split(text, ' '))"
+    else:
+        stop = "len(list_filter(string_split(text, ' '), __w -> __w IN ('the', 'a')))"
+        n = "len(string_split(text, ' '))"
+    return (
+        f"SELECT doc_id, CASE WHEN {stop} * 1.0 / {n} >= 0.03 THEN 'en' "
+        f"ELSE 'unknown' END AS lang_guess FROM documents"
+    )
+
+
+_sql_query("tag_lang_guess", _tag_lang_guess_sql)
+
+
+def _tag_fingerprint_sql(d: Dialect) -> str:
+    """Document fingerprint: min 60-bit hash over word 3-shingles (rolling-
+    hash family; the single-permutation MinHash)."""
+    if d.is_spark:
+        words = "split(text, ' ')"
+        n = f"size({words})"
+        shingle = (
+            f"transform(sequence(1, {n} - 2), __i -> "
+            f"concat(element_at({words}, __i), ' ', element_at({words}, __i + 1), "
+            f"' ', element_at({words}, __i + 2)))"
+        )
+        mins = f"array_min(transform({shingle}, __s -> {d.h60('__s')}))"
+    else:
+        words = "string_split(text, ' ')"
+        n = f"len({words})"
+        shingle = (
+            f"list_transform(range(1, {n} - 1), __i -> "
+            f"concat(list_element({words}, __i), ' ', list_element({words}, __i + 1), "
+            f"' ', list_element({words}, __i + 2)))"
+        )
+        mins = f"list_min(list_transform({shingle}, __s -> {d.h60('__s')}))"
+    return (
+        f"SELECT doc_id, CASE WHEN {n} >= 3 THEN {mins} ELSE {d.h60('text')} END "
+        f"AS fingerprint FROM documents"
+    )
+
+
+_sql_query("tag_fingerprint", _tag_fingerprint_sql)
+
+
+# ===========================================================================
+# Deduplication (training-data ops; exact + minhash-LSH + jaccard verify)
+# ===========================================================================
+
+def _dedup_exact_sql(d: Dialect) -> str:
+    """Exact dedup via content hash groups (hash-groupBy)."""
+    return (
+        "SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs, "
+        "min(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text) HAVING count(*) > 1"
+    )
+
+
+_sql_query("dedup_exact", _dedup_exact_sql)
+
+_DEDUP_NPERM = 8
+
+
+def _minhash_sig_arms(d: Dialect) -> str:
+    """Per-doc word-3-shingle MinHash signature rows (doc_id, perm, minv)."""
+    if d.is_spark:
+        words = "split(text, ' ')"
+        n = f"size({words})"
+        shingles = (
+            f"transform(sequence(1, greatest({n} - 2, 1)), __i -> "
+            f"concat(element_at({words}, __i), ' ', "
+            f"coalesce(element_at({words}, __i + 1), ''), ' ', "
+            f"coalesce(element_at({words}, __i + 2), '')))"
+        )
+    else:
+        words = "string_split(text, ' ')"
+        n = f"len({words})"
+        shingles = (
+            f"list_transform(range(1, greatest({n} - 2, 1) + 1), __i -> "
+            f"concat(list_element({words}, __i), ' ', "
+            f"coalesce(list_element({words}, __i + 1), ''), ' ', "
+            f"coalesce(list_element({words}, __i + 2), '')))"
+        )
+    arms = []
+    for p in range(_DEDUP_NPERM):
+        seeded = d.h60("concat(__s, '#mh" + str(p) + "')")
+        fn = "transform" if d.is_spark else "list_transform"
+        mn = "array_min" if d.is_spark else "list_min"
+        arms.append(
+            f"SELECT doc_id, {p} AS perm, {mn}({fn}({shingles}, __s -> {seeded})) "
+            f"AS minv FROM documents"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
+def _dedup_minhash_pairs_sql(d: Dialect) -> str:
+    """MinHash-LSH near-dup candidate pairs: docs sharing any (perm, minv)
+    band key, verified at signature level (≥6/8 matching mins).  Pure
+    joins/groupBys — the 100 TB path (shingle→minhash→band→bucket-join)."""
+    sig = _minhash_sig_arms(d)
+    return (
+        f"WITH sig AS (\n{sig}\n),\n"
+        "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS n_shared FROM sig a JOIN sig b "
+        "ON a.perm = b.perm AND a.minv = b.minv AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2)\n"
+        f"SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared "
+        f"FROM cand WHERE n_shared >= 6"
+    )
+
+
+def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan: shingles + full 8-perm signature computed in ONE scan
+    (the SQL twin recomputes shingles per UNION arm), then band self-join.
+    try_element_at: ANSI mode is on in Spark 4 — plain element_at throws
+    out-of-bounds where DuckDB's list_element returns NULL."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("__docs")
+    ws = "split(text, ' ')"
+    shingles = (
+        f"transform(sequence(1, greatest(size({ws}) - 2, 1)), __i -> "
+        f"concat(try_element_at({ws}, __i), ' ', "
+        f"coalesce(try_element_at({ws}, __i + 1), ''), ' ', "
+        f"coalesce(try_element_at({ws}, __i + 2), '')))"
+    )
+    sig = (
+        f"transform(sequence(0, {_DEDUP_NPERM - 1}), __p -> "
+        f"array_min(transform(sh, __s -> "
+        f"cast(conv(substring(md5(concat(__s, '#mh', cast(__p as string))), 1, 15), "
+        f"16, 10) as bigint))))"
+    )
+    return spark.sql(
+        f"""
+        WITH sig AS (
+          SELECT doc_id, perm, minv FROM (
+            SELECT doc_id, {sig} AS sig
+            FROM (SELECT doc_id, {shingles} AS sh FROM __docs) s
+          ) t LATERAL VIEW posexplode(sig) x AS perm, minv
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM sig a JOIN sig b
+          ON a.perm = b.perm AND a.minv = b.minv AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 6
+        """
+    )
+
+
+_df_query("dedup_minhash_pairs", _dedup_minhash_spark, _dedup_minhash_pairs_sql(DUCK))
+
+
+def _dedup_jaccard_sql(d: Dialect) -> str:
+    """Near-dup verification: exact word-set Jaccard ≥ 0.8 on the LSH
+    candidate pairs (n-gram Jaccard family) — blocking keeps the pair
+    space linear-ish; the exact check runs only on candidates."""
+    pairs = _dedup_minhash_pairs_sql(d)
+    if d.is_spark:
+        inter = "size(array_intersect(wa, wb))"
+        union = "size(array_union(wa, wb))"
+        wd = "array_distinct(split(text, ' '))"
+    else:
+        inter = "len(list_intersect(wa, wb))"
+        union = "len(list_distinct(list_concat(wa, wb)))"
+        wd = "list_distinct(string_split(text, ' '))"
+    return (
+        f"WITH cand AS (\n{pairs}\n),\n"
+        f"w AS (SELECT doc_id, {wd} AS ws FROM documents),\n"
+        f"joined AS (SELECT cand.doc_a, cand.doc_b, wa.ws AS wa, wb.ws AS wb "
+        f"FROM cand JOIN w wa ON cand.doc_a = wa.doc_id "
+        f"JOIN w wb ON cand.doc_b = wb.doc_id)\n"
+        f"SELECT doc_a, doc_b, "
+        f"{d.double(f'round({inter} * 1.0 / {union}, 6)')} AS jaccard "
+        f"FROM joined WHERE round({inter} * 1.0 / {union}, 6) >= 0.8"
+    )
+
+
+def _dedup_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact word-set Jaccard — the candidate
+    set is tiny relative to the corpus, so the exact check is a broadcast-
+    sized join, not a quadratic pass."""
+    cand = _dedup_minhash_spark(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    )
+    wa = docs.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    wb = docs.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    j = (
+        cand.join(wa, "doc_a").join(wb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("wa", "wb"))
+                / F.size(F.array_union("wa", "wb")),
+                6,
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+_df_query("dedup_jaccard_pairs", _dedup_jaccard_spark, _dedup_jaccard_sql(DUCK))
+
+
+# ===========================================================================
+# Similarity search (embeddings table)
+# ===========================================================================
+
+def _sim_topk_sql(d: Dialect) -> str:
+    """Brute-force cosine top-3 per query vector (ANN baseline).  Rank by
+    rounded similarity (engine float paths differ in ulps) with vec_id
+    tie-break — deterministic on both sides."""
+    if d.is_spark:
+        dot = ("aggregate(zip_with(qe, e.embedding, (__x, __y) -> "
+               "cast(__x as double) * cast(__y as double)), cast(0.0 as double), "
+               "(__a, __b) -> __a + __b)")
+        qnorm = ("sqrt(aggregate(qe, cast(0.0 as double), "
+                 "(__a, __x) -> __a + cast(__x as double) * cast(__x as double)))")
+        enorm = ("sqrt(aggregate(e.embedding, cast(0.0 as double), "
+                 "(__a, __x) -> __a + cast(__x as double) * cast(__x as double)))")
+    else:
+        dd = "list_transform(qe, __x -> CAST(__x AS DOUBLE))"
+        de = "list_transform(e.embedding, __x -> CAST(__x AS DOUBLE))"
+        dot = f"list_dot_product({dd}, {de})"
+        qnorm = f"sqrt(list_dot_product({dd}, {dd}))"
+        enorm = f"sqrt(list_dot_product({de}, {de}))"
+    return (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),\n"
+        f"c AS (SELECT q.qid, e.vec_id AS nid, "
+        f"round({dot} / ({qnorm} * {enorm}), 4) AS sim "
+        f"FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)\n"
+        "SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk FROM ("
+        "SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk "
+        "FROM c) r WHERE rnk <= 3"
+    )
+
+
+_sql_query("sim_topk_cosine", _sim_topk_sql)
+
+
+# ===========================================================================
+# Relational / lifecycle operators (SURVEY.md §2.8-2.9) over events/orders
+# ===========================================================================
+
+def _rel_latest_wins_sql(d: Dialect) -> str:
+    """Latest-wins dedup: previous results keyed by path keep max
+    processed_at (incremental.py:24-48) — here: latest event per user."""
+    return (
+        "SELECT user_id, event_id, event_type, value FROM ("
+        "SELECT user_id, event_id, event_type, value, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) t WHERE rn = 1"
+    )
+
+
+_sql_query("rel_latest_wins", _rel_latest_wins_sql)
+
+
+def _rel_incremental_anti_sql(d: Dialect) -> str:
+    """Incremental change detection: crawled − previously-processed →
+    to-process (run_process.py:147-177, left_anti semantics).  'Previous
+    snapshot' = every third event id."""
+    return (
+        "SELECT e.event_id, e.user_id, e.event_type FROM events e "
+        "WHERE NOT EXISTS (SELECT 1 FROM events p "
+        "WHERE p.event_id % 3 = 0 AND p.event_id = e.event_id)"
+    )
+
+
+_sql_query("rel_incremental_anti", _rel_incremental_anti_sql)
+
+
+def _rel_semi_filter_sql(d: Dialect) -> str:
+    """Candidate-doc restriction: semi-join vs a small id set
+    (retriever.py:174-178 `document_id in [...]`) — orders of the 10
+    richest customers."""
+    return (
+        "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM ("
+        "SELECT c_custkey FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10) t "
+        "WHERE t.c_custkey = o.o_custkey)"
+    )
+
+
+_sql_query("rel_semi_filter", _rel_semi_filter_sql)
+
+
+def _rel_union_merge_sql(d: Dialect) -> str:
+    """Merged-results union: per-processor outputs concatenated
+    (run_process.py:56-81) — two disjoint splits unioned, per-type counts."""
+    return (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT event_id, event_type FROM events WHERE event_id % 2 = 0 "
+        "UNION ALL SELECT event_id, event_type FROM events WHERE event_id % 2 = 1) u "
+        "GROUP BY event_type"
+    )
+
+
+_sql_query("rel_union_merge", _rel_union_merge_sql)
+
+
+def _rel_topk_fusion_sql(d: Dialect) -> str:
+    """Top-k with weighted score fusion (retriever.py:182-236
+    WeightedRanker): 0.7·value + 0.3·hash-derived score, top-10 per type."""
+    h = d.h60("cast(event_id as string)")
+    return (
+        f"SELECT event_type, event_id, score FROM ("
+        f"SELECT event_type, event_id, "
+        f"{d.double(f'round(0.7 * value + 0.3 * (({h} % 1000) / 1000.0), 6)')} AS score, "
+        f"row_number() OVER (PARTITION BY event_type ORDER BY "
+        f"round(0.7 * value + 0.3 * (({h} % 1000) / 1000.0), 6) DESC, event_id) AS rn "
+        f"FROM events) t WHERE rn <= 10"
+    )
+
+
+_sql_query("rel_topk_fusion", _rel_topk_fusion_sql)
+
+
+def _chunk_word_sql(d: Dialect) -> str:
+    """Chunker partitioning semantics: 64-word chunks per doc →
+    (doc_id, chunk_idx, n_tokens) (chunker/multimodal.py:187-245 family;
+    full table-aware chunker is the pandas-UDF path, pytest-gated)."""
+    if d.is_spark:
+        return (
+            "SELECT doc_id, chunk_idx, CAST(least(64, n - 64 * chunk_idx) AS BIGINT) "
+            "AS n_tokens FROM ("
+            "SELECT doc_id, size(split(text, ' ')) AS n FROM documents) t "
+            "LATERAL VIEW explode(sequence(0, cast(ceil(n / 64.0) as int) - 1)) x AS chunk_idx"
+        )
+    return (
+        "SELECT doc_id, chunk_idx, CAST(least(64, n - 64 * chunk_idx) AS BIGINT) "
+        "AS n_tokens FROM ("
+        "SELECT doc_id, n, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS chunk_idx "
+        "FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents) b) t"
+    )
+
+
+_sql_query("chunk_word64", _chunk_word_sql)

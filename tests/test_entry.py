@@ -1,0 +1,70 @@
+"""Driver-contract tests: entry() smoke, queries()/oracle_sql() coverage,
+and a fast Spark-vs-DuckDB comparison on a subset at sf0.001 (the full
+sweep lives in tools/check_oracle.py)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FAST_SUBSET = [
+    "kg_triples", "kg_mentions", "kg_triples_global", "tag_word_count",
+    "tag_fingerprint", "dedup_minhash_pairs", "sim_topk_cosine",
+    "rel_latest_wins", "chunk_word64",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    from mmore_spark.entryqueries import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif "float" in str(df[c].dtype):
+            df[c] = df[c].astype("float64").round(6)
+        else:
+            df[c] = pd.to_numeric(df[c]).astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5000).collect()
+    assert len(rows) > 0
+    assert {"subj", "obj", "pred", "weight"} <= set(df.columns)
+
+
+def test_every_oracle_key_has_query():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    # pipeline-level queries are intentionally rows-only
+    assert "kg_pipeline_triples" in qs and "kg_pipeline_triples" not in os_
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs[name](spark, SF_DIR).toPandas()
+    odf = duck.sql(os_[name]).df()
+    assert len(sdf) == len(odf), (len(sdf), len(odf))
+    a, b = _normalize(sdf), _normalize(odf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_pipeline_queries_run(spark):
+    qs = entrymod.queries()
+    t = qs["kg_pipeline_triples"](spark, SF_DIR)
+    e = qs["kg_pipeline_entities"](spark, SF_DIR)
+    assert t.count() > 0 and e.count() > 0
