@@ -117,8 +117,14 @@ def augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     64KB method limit and silently falls back to interpreted eval)."""
     from ..hashing import h60
 
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", h60(F.col("doc_id").cast("string")).alias("h")
+    # The test parquet is a single small file → one input partition, which
+    # would serialize all downstream regex/UDF work; spread it across the
+    # cluster first (cheap: the table is narrow here, and at 100 TB the
+    # scan is naturally multi-partition so this is a no-op-ish round robin).
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "text", h60(F.col("doc_id").cast("string")).alias("h"))
     )
     t = F.broadcast(template_dim(spark))
     p = pool_dim(spark)

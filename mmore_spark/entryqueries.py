@@ -373,88 +373,128 @@ def _dedup_exact_sql(d: Dialect) -> str:
 _sql_query("dedup_exact", _dedup_exact_sql)
 
 _DEDUP_NPERM = 8
+_DEDUP_BAND_R = 2  # rows per band → 4 bands; P(collide) = 1-(1-J^2)^4
 
 
-def _minhash_sig_arms(d: Dialect) -> str:
-    """Per-doc word-3-shingle MinHash signature rows (doc_id, perm, minv)."""
+def _shingles_sql(d: Dialect) -> str:
     if d.is_spark:
         words = "split(text, ' ')"
         n = f"size({words})"
-        shingles = (
+        return (
             f"transform(sequence(1, greatest({n} - 2, 1)), __i -> "
-            f"concat(element_at({words}, __i), ' ', "
-            f"coalesce(element_at({words}, __i + 1), ''), ' ', "
-            f"coalesce(element_at({words}, __i + 2), '')))"
+            f"concat(try_element_at({words}, __i), ' ', "
+            f"coalesce(try_element_at({words}, __i + 1), ''), ' ', "
+            f"coalesce(try_element_at({words}, __i + 2), '')))"
         )
-    else:
-        words = "string_split(text, ' ')"
-        n = f"len({words})"
-        shingles = (
-            f"list_transform(range(1, greatest({n} - 2, 1) + 1), __i -> "
-            f"concat(list_element({words}, __i), ' ', "
-            f"coalesce(list_element({words}, __i + 1), ''), ' ', "
-            f"coalesce(list_element({words}, __i + 2), '')))"
-        )
+    words = "string_split(text, ' ')"
+    n = f"len({words})"
+    return (
+        f"list_transform(range(1, greatest({n} - 2, 1) + 1), __i -> "
+        f"concat(list_element({words}, __i), ' ', "
+        f"coalesce(list_element({words}, __i + 1), ''), ' ', "
+        f"coalesce(list_element({words}, __i + 2), '')))"
+    )
+
+
+def _minv_sql(d: Dialect, shingles: str, perm: int) -> str:
+    seeded = d.h60(f"concat(__s, '#mh{perm}')")
+    fn = "transform" if d.is_spark else "list_transform"
+    mn = "array_min" if d.is_spark else "list_min"
+    return f"{mn}({fn}({shingles}, __s -> {seeded}))"
+
+
+def _band_arms_sql(d: Dialect) -> str:
+    """Per-doc BANDED signature rows (doc_id, band, bh): band hash = h60 of
+    the concatenated r=2 min-hashes.  Banding is what keeps LSH sub-
+    quadratic on corpora where everything shares common shingles: per-band
+    collision probability is J^r, so weakly-similar pairs (J≈0.05) almost
+    never collide while true near-dups (J≥0.8) hit ≥1 of 4 bands w.p. .98."""
+    sh = _shingles_sql(d)
     arms = []
-    for p in range(_DEDUP_NPERM):
-        seeded = d.h60("concat(__s, '#mh" + str(p) + "')")
-        fn = "transform" if d.is_spark else "list_transform"
-        mn = "array_min" if d.is_spark else "list_min"
-        arms.append(
-            f"SELECT doc_id, {p} AS perm, {mn}({fn}({shingles}, __s -> {seeded})) "
-            f"AS minv FROM documents"
-        )
+    n_bands = _DEDUP_NPERM // _DEDUP_BAND_R
+    for b in range(n_bands):
+        m0 = _minv_sql(d, sh, 2 * b)
+        m1 = _minv_sql(d, sh, 2 * b + 1)
+        bh = d.h60(f"concat(cast({m0} as string), ':', cast({m1} as string))")
+        arms.append(f"SELECT doc_id, {b} AS band, {bh} AS bh FROM documents")
     return "\nUNION ALL\n".join(arms)
 
 
 def _dedup_minhash_pairs_sql(d: Dialect) -> str:
-    """MinHash-LSH near-dup candidate pairs: docs sharing any (perm, minv)
-    band key, verified at signature level (≥6/8 matching mins).  Pure
-    joins/groupBys — the 100 TB path (shingle→minhash→band→bucket-join)."""
-    sig = _minhash_sig_arms(d)
+    """MinHash-LSH near-dup candidate pairs: docs sharing ≥1 banded key
+    (shingle→minhash→band→bucket-join — the 100 TB dedup path)."""
+    sig = _band_arms_sql(d)
     return (
-        f"WITH sig AS (\n{sig}\n),\n"
-        "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        "count(*) AS n_shared FROM sig a JOIN sig b "
-        "ON a.perm = b.perm AND a.minv = b.minv AND a.doc_id < b.doc_id "
-        "GROUP BY 1, 2)\n"
-        f"SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared "
-        f"FROM cand WHERE n_shared >= 6"
+        f"WITH sig AS (\n{sig}\n)\n"
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared FROM sig a JOIN sig b "
+        "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id"
     )
 
 
 def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark plan: shingles + full 8-perm signature computed in ONE scan
-    (the SQL twin recomputes shingles per UNION arm), then band self-join.
-    try_element_at: ANSI mode is on in Spark 4 — plain element_at throws
-    out-of-bounds where DuckDB's list_element returns NULL."""
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("__docs")
-    ws = "split(text, ' ')"
-    shingles = (
-        f"transform(sequence(1, greatest(size({ws}) - 2, 1)), __i -> "
-        f"concat(try_element_at({ws}, __i), ' ', "
-        f"coalesce(try_element_at({ws}, __i + 1), ''), ' ', "
-        f"coalesce(try_element_at({ws}, __i + 2), '')))"
+    """Spark plan: banded MinHash signatures computed in ONE Arrow-batched
+    stage (mapInPandas + hashlib — ~10× faster than Catalyst's interpreted
+    nested higher-order functions for this many tiny md5 calls), then a
+    native band self-join.  Values are identical to the SQL oracle twin
+    (same md5-based h60 family, hashing.py)."""
+    from pyspark.sql import types as T
+
+    n_perm, r = _DEDUP_NPERM, _DEDUP_BAND_R
+    n_bands = n_perm // r
+
+    def sig_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def h60(s: str) -> int:
+            return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+        for pdf in batches:
+            out_doc, out_band, out_bh = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split(" ")
+                n = len(words)
+                upper = max(n - 2, 1)
+                shingles = [
+                    words[i] + " "
+                    + (words[i + 1] if i + 1 < n else "") + " "
+                    + (words[i + 2] if i + 2 < n else "")
+                    for i in range(upper)
+                ]
+                mins = [
+                    min(h60(s + f"#mh{p}") for s in shingles) for p in range(n_perm)
+                ]
+                for b in range(n_bands):
+                    out_doc.append(doc_id)
+                    out_band.append(b)
+                    out_bh.append(h60(f"{mins[r * b]}:{mins[r * b + 1]}"))
+            yield pd.DataFrame({"doc_id": out_doc, "band": out_band, "bh": out_bh})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bh", T.LongType()),
+    ])
+    # repartition + localCheckpoint leaf: the source file is one row group
+    # → one input partition; the leaf barrier stops Catalyst from pushing
+    # work below the exchange and guarantees the Arrow stage fans out.
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
-    sig = (
-        f"transform(sequence(0, {_DEDUP_NPERM - 1}), __p -> "
-        f"array_min(transform(sh, __s -> "
-        f"cast(conv(substring(md5(concat(__s, '#mh', cast(__p as string))), 1, 15), "
-        f"16, 10) as bigint))))"
-    )
-    return spark.sql(
-        f"""
-        WITH sig AS (
-          SELECT doc_id, perm, minv FROM (
-            SELECT doc_id, {sig} AS sig
-            FROM (SELECT doc_id, {shingles} AS sh FROM __docs) s
-          ) t LATERAL VIEW posexplode(sig) x AS perm, minv
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
-        FROM sig a JOIN sig b
-          ON a.perm = b.perm AND a.minv = b.minv AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 6
-        """
+    sig = base.mapInPandas(sig_batches, schema=schema).persist()
+    sig.count()  # fill the cache once; the self-join reads it twice
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
     )
 
 

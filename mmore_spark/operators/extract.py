@@ -113,9 +113,11 @@ _EXTRACTOR_CACHE: list | None = None
 
 
 def _compiled_templates():
-    """Compile one regex per relation template with an alias-alternation
-    group on each side.  Compiled once per executor (the reference's
-    model-caching pattern, pdf_processor.py:37-68)."""
+    """Compile ONE combined regex for all relation templates (alternation
+    of per-template branches, each with alias-alternation capture groups)
+    so extraction is a single scan per document instead of 12.  Compiled
+    once per executor (the reference's model-caching pattern,
+    pdf_processor.py:37-68)."""
     global _EXTRACTOR_CACHE
     if _EXTRACTOR_CACHE is not None:
         return _EXTRACTOR_CACHE
@@ -126,37 +128,43 @@ def _compiled_templates():
                 alias_type[alias] = etype
     # longest-first so "Acme Corporation" wins over a would-be prefix
     alternation = "|".join(re.escape(a) for a in sorted(alias_type, key=len, reverse=True))
-    compiled = []
+    branches = []
+    group_info: dict[int, tuple[str, float]] = {}  # subj group idx -> (pred, weight)
+    gi = 1
     for tmpl, _st, _ot, pred, weight in vocab.RELATION_TEMPLATES:
         head, rest = tmpl.split("{s}")
         mid, tail = rest.split("{o}")
-        pattern = re.compile(
+        branches.append(
             re.escape(head) + f"({alternation})" + re.escape(mid)
             + f"({alternation})" + re.escape(tail)
         )
-        compiled.append((pattern, pred, weight))
-    _EXTRACTOR_CACHE = (compiled, alias_type)
+        group_info[gi] = (pred, weight)
+        gi += 2
+    combined = re.compile("|".join(f"(?:{b})" for b in branches))
+    _EXTRACTOR_CACHE = (combined, group_info, alias_type)
     return _EXTRACTOR_CACHE
 
 
 def rule_extract(text: str) -> str:
     """Mention detection + record emission in the reference's delimited
     format (the deterministic stand-in for the LLM call)."""
-    compiled, alias_type = _compiled_templates()
+    combined, group_info, alias_type = _compiled_templates()
     records: list[str] = []
-    for pattern, pred, weight in compiled:
-        for m in pattern.finditer(text):
-            subj, obj = m.group(1), m.group(2)
-            for name in (subj, obj):
-                etype = alias_type[name]
-                records.append(
-                    f'("entity"{TUPLE_DELIM}{name}{TUPLE_DELIM}{etype}'
-                    f"{TUPLE_DELIM}{entity_description(name, etype)})"
-                )
+    for m in combined.finditer(text):
+        gi = m.lastindex - 1 if m.lastindex % 2 == 0 else m.lastindex
+        # lastindex is the highest matched group; subj group is the odd one
+        subj, obj = m.group(gi), m.group(gi + 1)
+        pred, weight = group_info[gi]
+        for name in (subj, obj):
+            etype = alias_type[name]
             records.append(
-                f'("relationship"{TUPLE_DELIM}{subj}{TUPLE_DELIM}{obj}'
-                f"{TUPLE_DELIM}{pred}{TUPLE_DELIM}{weight})"
+                f'("entity"{TUPLE_DELIM}{name}{TUPLE_DELIM}{etype}'
+                f"{TUPLE_DELIM}{entity_description(name, etype)})"
             )
+        records.append(
+            f'("relationship"{TUPLE_DELIM}{subj}{TUPLE_DELIM}{obj}'
+            f"{TUPLE_DELIM}{pred}{TUPLE_DELIM}{weight})"
+        )
     return RECORD_DELIM.join(records) + (RECORD_DELIM + COMPLETION_TAG if records else "")
 
 

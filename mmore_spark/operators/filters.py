@@ -1,0 +1,118 @@
+"""Quality filters (SURVEY.md §2.4): the datatrove-wrapped filter family
+re-expressed as native DataFrame predicates, plus the rejected-docs
+exclusion writer.
+
+Reference: 11 datatrove filters behind BaseFilter.process keep/drop
+(/root/reference/src/mmore/process/post_processor/filter/base.py:44-86,
+filter/datatrove_wrapper.py:27-101).  Spark mapping: every filter is a
+(DataFrame → boolean Column) builder; ``apply_filters`` evaluates them in
+one projection (no per-row Python), writes rejected rows with the
+rejecting filter's name (the exclusion_writer contract,
+datatrove_wrapper.py:48-53), and returns the kept set.
+
+Filters whose reference implementation needs a model (fasttext, unigram
+logprob) are approximated by native heuristics and documented as such —
+the pluggable seam accepts a pandas-UDF predicate where exact parity with
+an external model is required.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..hashing import h60
+
+FilterFn = Callable[[DataFrame], Column]
+
+_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "on", "for"]
+
+
+def filter_regex(pattern: str, text_col: str = "text") -> FilterFn:
+    """datatrove filter_regex: drop docs matching the pattern."""
+    return lambda df: ~F.col(text_col).rlike(pattern)
+
+
+def filter_url(url_col: str = "source",
+               blocked: tuple[str, ...] = ("spam", "adult")) -> FilterFn:
+    """datatrove filter_url: drop docs from blocked source patterns."""
+    def fn(df: DataFrame) -> Column:
+        c = F.coalesce(F.col(url_col), F.lit(""))
+        cond = F.lit(True)
+        for b in blocked:
+            cond = cond & ~c.contains(b)
+        return cond
+    return fn
+
+
+def sampler(rate: float, key_col: str = "doc_id") -> FilterFn:
+    """datatrove sampler: DETERMINISTIC hash sampling (not rand(): results
+    must be reproducible across runs and parallelism levels)."""
+    threshold = int(rate * (1 << 60))
+    return lambda df: h60(F.col(key_col).cast("string"), seed="#sample") < threshold
+
+
+def filter_gopher_quality(text_col: str = "text", min_words: int = 5,
+                          max_words: int = 200_000,
+                          max_symbol_ratio: float = 0.5) -> FilterFn:
+    """Gopher-style quality gates: word-count bounds + symbol-to-word
+    ratio (native approximation of filter_gopher-quality)."""
+    def fn(df: DataFrame) -> Column:
+        words = F.split(F.col(text_col), r"\s+")
+        n = F.size(words)
+        symbols = F.length(F.regexp_replace(F.col(text_col), r"[\w\s]", ""))
+        return (n >= min_words) & (n <= max_words) & (symbols / n <= max_symbol_ratio)
+    return fn
+
+
+def filter_gopher_repetition(text_col: str = "text",
+                             max_top_word_ratio: float = 0.2) -> FilterFn:
+    """Repetition gate: most frequent word must stay under a ratio of all
+    words (native aggregate over the words array)."""
+    def fn(df: DataFrame) -> Column:
+        words = F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda fw: F.length(fw) > 0)
+        n = F.size(words)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda dw: F.size(F.filter(words, lambda ow: ow == dw)),
+            )
+        )
+        return (n == 0) | (top / n <= max_top_word_ratio)
+    return fn
+
+
+def filter_c4_quality(text_col: str = "text", min_stopword_hits: int = 1) -> FilterFn:
+    """C4-style gate: requires some stopword presence (native)."""
+    def fn(df: DataFrame) -> Column:
+        words = F.split(F.col(text_col), r"\s+")
+        hits = F.size(F.filter(words, lambda cw: cw.isin(_STOPWORDS)))
+        return hits >= min_stopword_hits
+    return fn
+
+
+def filter_language(lang_col: str = "lang",
+                    allowed: tuple[str, ...] = ("en",)) -> FilterFn:
+    """filter_language over a language column (upstream lang-ID tagger)."""
+    return lambda df: F.col(lang_col).isin(*allowed)
+
+
+def apply_filters(df: DataFrame, filters: dict[str, FilterFn],
+                  rejected_path: str | None = None) -> DataFrame:
+    """Evaluate all filters in one projection; write rejected rows (with
+    the first rejecting filter's name — the exclusion_writer contract) if
+    a path is given; return kept rows."""
+    flagged = df
+    reject_name = F.lit(None).cast("string")
+    keep = F.lit(True)
+    for name, fn in filters.items():
+        cond = fn(df)
+        reject_name = F.when(reject_name.isNull() & ~cond, F.lit(name)).otherwise(reject_name)
+        keep = keep & cond
+    flagged = flagged.withColumn("_keep", keep).withColumn("_rejected_by", reject_name)
+    if rejected_path is not None:
+        flagged.filter(~F.col("_keep")).drop("_keep").write.mode("overwrite").parquet(
+            rejected_path)
+    return flagged.filter(F.col("_keep")).drop("_keep", "_rejected_by")

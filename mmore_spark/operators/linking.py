@@ -107,14 +107,49 @@ def candidate_pairs(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame
 
     Self-join key = (permutation index, min-hash value): uniform hash
     domain, so no skewed join keys regardless of token distribution.
+
+    The signature is computed in one Arrow-batched stage with hashlib —
+    byte-identical to hashing.h60_py, immune to the Catalyst HOF pitfalls
+    documented in this module's NOTE, and ~10× faster than interpreted
+    nested transforms.  Names are dimension-sized, so the stage is cheap.
     """
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    def sig_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def h60(s: str) -> int:
+            return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+        for pdf in batches:
+            out_n, out_p, out_m = [], [], []
+            for name in pdf["name"]:
+                toks = [t for t in _re.sub(r"[^A-Z0-9 ]", "", name.upper()).split(" ") if t]
+                if not toks:
+                    continue
+                for p in range(n_perm):
+                    out_n.append(name)
+                    out_p.append(p)
+                    out_m.append(min(h60(f"{t}#perm{p}") for t in toks))
+            yield pd.DataFrame({"name": out_n, "perm": out_p, "minv": out_m})
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("perm", T.IntegerType()),
+        T.StructField("minv", T.LongType()),
+    ])
     sig = (
-        names.select("name")
-        .distinct()
-        .withColumn("tokens", name_tokens(F.col("name")))
-        .withColumn("sig", minhash_signature_expr("tokens", n_perm))
-        .select("name", F.posexplode("sig").alias("perm", "minv"))
+        names.select("name").distinct()
+        .mapInPandas(sig_batches, schema=schema)
+        # materialize before the self-join: otherwise both sides recompute
+        # the signature, and plan-level pushdowns can serialize the work
+        .persist()
     )
+    sig.count()
     left = sig.alias("a")
     right = sig.alias("b")
     return (
@@ -204,6 +239,9 @@ def canonicalize(mentions: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame
             F.max_by("entity_type", F.length(F.coalesce("entity_type", F.lit(""))))
             .alias("entity_type"),
         )
+        # dimension-sized (distinct names); cut lineage so the LSH self-join
+        # and the CC loop don't re-aggregate the full mention set repeatedly
+        .localCheckpoint()
     )
     edges = match_edges(counts.select("name"), n_perm)
     comps = connected_components(counts.select("name"), edges)

@@ -1,0 +1,116 @@
+"""Multimodal column operators: decode / feature-extract / resize /
+frame-sample over opaque ``binary`` media columns.
+
+The reference processes media with real models (PyMuPDF image extraction +
+size/variance gate, process/utils.py:60-92 ``clean_image`` min 512×512,
+grayscale variance ≥ 100; Whisper ASR + frame sampling every
+``sample_rate`` seconds, media_processor.py:141-210).  The image/audio
+libraries are NOT in this container, so the decode step is STUBBED behind
+``set_decoder`` (a deterministic fake by default, NotImplementedError for
+real codecs) — but the Spark-side plumbing is real and tested: schema,
+Arrow batch shape, partitioning, and the native quality-gate filter that
+consumes the extracted features.
+
+Plumbing pattern = the reference's model-cache-per-executor idiom
+(pdf_processor.py:37-68): the decoder is initialized lazily once per
+executor inside the Arrow stage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("variance", T.DoubleType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("n_frames_sampled", T.IntegerType()),
+])
+
+Decoder = Callable[[str, bytes | None, str], dict]
+
+
+def fake_decoder(media_ref: str, payload: bytes | None, kind: str) -> dict:
+    """Deterministic stand-in for real codecs: features derived from the
+    md5 of the media reference (stable across runs/partitionings)."""
+    import hashlib
+
+    h = int(hashlib.md5(media_ref.encode()).hexdigest()[:15], 16)
+    width = 256 + (h % 1280)
+    height = 256 + ((h >> 11) % 1280)
+    variance = float(50 + (h >> 22) % 200)
+    duration = float((h >> 31) % 600) if kind in ("audio", "video") else 0.0
+    return {
+        "width": width if kind == "image" else 0,
+        "height": height if kind == "image" else 0,
+        "variance": variance if kind == "image" else 0.0,
+        "duration_s": duration,
+    }
+
+
+def real_decoder(media_ref: str, payload: bytes | None, kind: str) -> dict:
+    """Real codec path — requires PIL / moviepy, not present here."""
+    raise NotImplementedError(
+        "image/audio decode libraries are not available in this container; "
+        "install PIL/moviepy and plug a decoder via extract_media_features(decoder=...)"
+    )
+
+
+def extract_media_features(df: DataFrame, decoder: Decoder = fake_decoder,
+                           frame_sample_rate_s: float = 10.0) -> DataFrame:
+    """(doc_id, spans) → one feature row per media span via one Arrow stage.
+
+    Frame sampling mirrors the reference: one frame every ``sample_rate``
+    seconds of video (media_processor.py sample-rate contract).
+    """
+    media = df.select(
+        "doc_id",
+        F.explode(F.filter("spans", lambda msp2: msp2["kind"] != F.lit("text"))).alias("m"),
+    ).select(
+        "doc_id", F.col("m.media_ref").alias("media_ref"), F.col("m.kind").alias("kind")
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        # executor-local decoder init (model-cache idiom)
+        dec = decoder
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, kind in zip(pdf["doc_id"], pdf["media_ref"], pdf["kind"]):
+                feats = dec(ref, None, kind)
+                n_frames = (
+                    int(feats["duration_s"] // frame_sample_rate_s) + 1
+                    if kind == "video" and feats["duration_s"] > 0 else 0
+                )
+                rows.append({
+                    "doc_id": doc_id, "media_ref": ref, "kind": kind,
+                    "width": feats["width"], "height": feats["height"],
+                    "variance": feats["variance"],
+                    "duration_s": feats["duration_s"],
+                    "n_frames_sampled": n_frames,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def image_quality_gate(features: DataFrame, min_side: int = 512,
+                       min_variance: float = 100.0) -> DataFrame:
+    """The reference's clean_image gate (process/utils.py:60-92): keep
+    images ≥ min_side × min_side with grayscale variance ≥ min_variance.
+    Native comparisons — no Python."""
+    is_image = F.col("kind") == "image"
+    passes = (
+        (F.col("width") >= min_side)
+        & (F.col("height") >= min_side)
+        & (F.col("variance") >= min_variance)
+    )
+    return features.withColumn("keep", ~is_image | passes)

@@ -1,0 +1,74 @@
+"""Tagger operators (SURVEY.md §2.3): per-row scalar enrichments.
+
+Reference: taggers write ``metadata.extra[key] = value``
+(/root/reference/src/mmore/process/post_processor/tagger/base.py:63-66);
+registered set tagger/__init__.py:10-16.  Spark mapping: each tagger is a
+named Column expression — typed columns instead of an open dict (SURVEY.md
+§1.3: filterable, prunable).  All native; only lang-detect parity with the
+``langdetect`` lib would need a pandas UDF (the heuristic twin is native
+and oracle-checkable, entryqueries.tag_lang_guess).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..corpus.generator import ATTACHMENT_TAG
+
+
+def words_counter(text: str = "text") -> Column:
+    """len(text.split()) (tagger/words.py:4-11)."""
+    return F.size(F.split(F.col(text), r"\s+")).alias("word_count")
+
+
+def modalities_counter(spans: str = "spans") -> Column:
+    """len(modalities) (tagger/modalities.py:4-11) over the spans form."""
+    return F.size(
+        F.filter(F.col(spans), lambda mc1: mc1["kind"] != F.lit("text"))
+    ).alias("modalities_count")
+
+
+def file_namer(file_path: str = "file_path") -> Column:
+    """os.path.basename(file_path) else 'unknown' (tagger/file_namer.py:6-33)."""
+    base = F.element_at(F.split(F.col(file_path), "/"), -1)
+    return F.when(
+        F.col(file_path).isNull() | (F.length(F.col(file_path)) == 0), F.lit("unknown")
+    ).otherwise(base).alias("file_name")
+
+
+def text_hash(text: str = "text") -> Column:
+    """md5 of text with attachment tags stripped (tagger/hash.py:6-15:
+    the registered content hash strips the placeholder first)."""
+    stripped = F.regexp_replace(F.col(text), ATTACHMENT_TAG.replace("<", "\\<"), "")
+    return F.md5(stripped).alias("text_md5")
+
+
+def metafuse(template: str, text: str = "text", prepend: bool = True,
+             **meta_cols: str) -> Column:
+    """Format metadata into a template and fuse with the text
+    (metafuse/base.py:42-59).  ``template`` uses %s placeholders filled
+    from ``meta_cols`` in order."""
+    fused = F.format_string(template, *[F.col(c) for c in meta_cols.values()])
+    combined = (
+        F.concat(fused, F.lit("\n"), F.col(text)) if prepend
+        else F.concat(F.col(text), F.lit("\n"), fused)
+    )
+    return combined.alias("text")
+
+
+def clean_text(text: str = "text") -> Column:
+    """Native approximation of process/utils.py:28-57 ``clean_text``
+    (cleantext lib): collapse whitespace, strip control chars, lower-noise
+    email/url placeholders.  Exact lib parity would wrap ``cleantext`` in
+    a pandas UDF — the seam is the same column contract."""
+    c = F.col(text)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r"\S+@\S+\.\S+", "<EMAIL>")
+    c = F.regexp_replace(c, r"https?://\S+", "<URL>")
+    return F.trim(c).alias("text_clean")
+
+
+def apply_taggers(df: DataFrame, *taggers: Column) -> DataFrame:
+    """One projection applying all taggers (Catalyst fuses them)."""
+    return df.select("*", *taggers)

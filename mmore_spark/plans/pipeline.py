@@ -42,7 +42,12 @@ def build_graph(documents: DataFrame, extractor=None
     """
     rendered = documents.select("doc_id", render_text("spans").alias("text"))
     mentions, triples = extract.extract_mentions_triples(rendered, "text", extractor)
-    canonical_map = linking.canonicalize(mentions)
+    # The linking stage drives several actions (name counts, LSH edges, the
+    # CC fixpoint loop); without persistence every one of them would re-run
+    # the Arrow extraction stage from the source scan.
+    mentions = mentions.persist()
+    triples = triples.persist()
+    canonical_map = linking.canonicalize(mentions).persist()
     canonical_triples = linking.rewrite_triples(triples, canonical_map)
     entities = linking.entities_table(canonical_map)
     return mentions, canonical_triples, entities, canonical_map
