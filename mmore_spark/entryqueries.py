@@ -590,6 +590,118 @@ def _sim_topk_sql(d: Dialect) -> str:
 _sql_query("sim_topk_cosine", _sim_topk_sql)
 
 
+_ANN_DIM = 64
+_ANN_PLANES = 6
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic ±1 random hyperplanes from the md5 family — computed
+    at SQL-generation time, embedded as literals in BOTH dialects."""
+    from .hashing import h60_py
+
+    return [
+        [1 if h60_py(f"rp{p}:{i}") % 2 == 0 else -1 for i in range(_ANN_DIM)]
+        for p in range(_ANN_PLANES)
+    ]
+
+
+def _sim_ann_lsh_sql(d: Dialect) -> str:
+    """Random-hyperplane LSH bucketing (the ANN scale path): bucket id =
+    sign bits of 6 fixed ±1 projections.  At 100 TB the bucket id is the
+    shuffle key — candidates only ever join within a bucket."""
+    planes = _hyperplanes()
+    bits = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(str(v) for v in plane)
+        if d.is_spark:
+            dot = (
+                f"aggregate(zip_with(embedding, array({lits}), "
+                f"(__e{p}, __w{p}) -> cast(__e{p} as double) * __w{p}), "
+                f"cast(0.0 as double), (__a{p}, __b{p}) -> __a{p} + __b{p})"
+            )
+        else:
+            dot = (
+                f"list_dot_product(list_transform(embedding, __e{p} -> "
+                f"CAST(__e{p} AS DOUBLE)), [{lits}])"
+            )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return (
+        f"SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM embeddings"
+    )
+
+
+_sql_query("sim_ann_lsh_buckets", _sim_ann_lsh_sql)
+
+
+def _sim_ann_pairs_sql(d: Dialect) -> str:
+    """ANN via LSH buckets: same-bucket pairs with rounded cosine ≥ 0.5 —
+    the bucketed variant of sim_topk_cosine (restricted to vec_id < 200
+    so both engines compare a stable small set)."""
+    buckets = _sim_ann_lsh_sql(d)
+    if d.is_spark:
+        dcast = "transform(%s, __c -> cast(__c as double))"
+        dot = ("aggregate(zip_with(ea, eb, (__x2, __y2) -> __x2 * __y2), "
+               "cast(0.0 as double), (__a2, __b2) -> __a2 + __b2)")
+        norm = lambda side: (  # noqa: E731
+            f"sqrt(aggregate({side}, cast(0.0 as double), "
+            f"(__n{side[-1]}, __v{side[-1]}) -> __n{side[-1]} + __v{side[-1]} * __v{side[-1]}))")
+    else:
+        dcast = "list_transform(%s, __c -> CAST(__c AS DOUBLE))"
+        dot = "list_dot_product(ea, eb)"
+        norm = lambda side: f"sqrt(list_dot_product({side}, {side}))"  # noqa: E731
+    ea = dcast % "a.embedding"
+    eb = dcast % "b.embedding"
+    norm_a, norm_b = norm("ea"), norm("eb")
+    sim = f"round({dot} / ({norm_a} * {norm_b}), 4)"
+    return (
+        f"WITH bk AS ({buckets}),\n"
+        f"pairs AS (SELECT x.vec_id AS va, y.vec_id AS vb FROM bk x JOIN bk y "
+        f"ON x.bucket = y.bucket AND x.vec_id < y.vec_id "
+        f"WHERE x.vec_id < 200 AND y.vec_id < 200),\n"
+        f"j AS (SELECT va, vb, {ea} AS ea, {eb} AS eb FROM pairs "
+        f"JOIN embeddings a ON pairs.va = a.vec_id "
+        f"JOIN embeddings b ON pairs.vb = b.vec_id)\n"
+        f"SELECT va, vb, {d.double(sim)} AS cos_sim FROM j WHERE {sim} >= 0.5"
+    )
+
+
+_sql_query("sim_ann_lsh_pairs", _sim_ann_pairs_sql)
+
+_SIMHASH_BITS = 16
+
+
+def _dedup_simhash_sql(d: Dialect) -> str:
+    """SimHash document fingerprint: bit b of the hash = sign of the sum
+    over words of ±1 according to bit b of the word's 60-bit hash."""
+    if d.is_spark:
+        words = "split(text, ' ')"
+        word_h = "transform(%s, __w3 -> %s)" % (words, d.h60("__w3"))
+        bit_sum = (
+            "aggregate(wh, 0, (__acc, __h3) -> __acc + "
+            "(CASE WHEN (__h3 div {pw}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+    else:
+        words = "string_split(text, ' ')"
+        word_h = "list_transform(%s, __w3 -> %s)" % (words, d.h60("__w3"))
+        bit_sum = (
+            "list_sum(list_transform(wh, __h3 -> "
+            "(CASE WHEN (__h3 // {pw}) % 2 = 1 THEN 1 ELSE -1 END)))"
+        )
+    terms = []
+    for b in range(_SIMHASH_BITS):
+        s = bit_sum.format(pw=1 << b)
+        terms.append(f"(CASE WHEN {s} > 0 THEN {1 << b} ELSE 0 END)")
+    total = " + ".join(terms)
+    return (
+        f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash "
+        f"FROM (SELECT doc_id, {word_h} AS wh FROM documents) t"
+    )
+
+
+_sql_query("dedup_simhash", _dedup_simhash_sql)
+
+
 # ===========================================================================
 # Relational / lifecycle operators (SURVEY.md §2.8-2.9) over events/orders
 # ===========================================================================

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..corpus.generator import ATTACHMENT_TAG
+from .hof import fresh, fresh2
 
 
 def render_text(spans: Column | str = "spans") -> Column:
@@ -24,16 +25,16 @@ def render_text(spans: Column | str = "spans") -> Column:
     replaced by the ``<attachment>`` placeholder (FIXTURES.md §1)."""
     c = F.col(spans) if isinstance(spans, str) else spans
     return F.array_join(
-        F.transform(c, lambda rsp: F.coalesce(rsp["text"], F.lit(ATTACHMENT_TAG))), ""
+        F.transform(c, fresh(lambda rsp: F.coalesce(rsp["text"], F.lit(ATTACHMENT_TAG)))), ""
     )
 
 
 def media_refs(spans: Column | str = "spans") -> Column:
     """Ordered media references (the mmore ``modalities`` list)."""
     c = F.col(spans) if isinstance(spans, str) else spans
-    media = F.filter(c, lambda msp: msp["kind"] != F.lit("text"))
-    return F.transform(media, lambda mrf: F.struct(mrf["kind"].alias("kind"),
-                                                   mrf["media_ref"].alias("media_ref")))
+    media = F.filter(c, fresh(lambda msp: msp["kind"] != F.lit("text")))
+    return F.transform(media, fresh(lambda mrf: F.struct(
+        mrf["kind"].alias("kind"), mrf["media_ref"].alias("media_ref"))))
 
 
 def span_signature(spans: Column | str = "spans") -> Column:
@@ -44,13 +45,13 @@ def span_signature(spans: Column | str = "spans") -> Column:
     return F.array_join(
         F.transform(
             c,
-            lambda gsp: F.concat_ws(
+            fresh(lambda gsp: F.concat_ws(
                 "\x1f",
                 gsp["kind"],
                 F.coalesce(gsp["text"], F.lit("\x00")),
                 F.coalesce(gsp["media_ref"], F.lit("\x00")),
                 gsp["offset"].cast("string"),
-            ),
+            )),
         ),
         "\x1e",
     )
@@ -69,7 +70,7 @@ def spans_from_text(text: Column, modalities: Column) -> Column:
     idx = F.sequence(F.lit(0), n * 2 - 2)
     raw = F.transform(
         idx,
-        lambda ivx: F.when(
+        fresh(lambda ivx: F.when(
             ivx % 2 == 0,
             F.struct(
                 F.lit("text").alias("kind"),
@@ -84,17 +85,18 @@ def spans_from_text(text: Column, modalities: Column) -> Column:
                     "media_ref"
                 ),
             )
-        ),
+        )),
     )
-    kept = F.filter(raw, lambda ksp: ~((ksp["kind"] == "text") & (F.length(ksp["text"]) == 0)))
+    kept = F.filter(raw, fresh(
+        lambda ksp: ~((ksp["kind"] == "text") & (F.length(ksp["text"]) == 0))))
     return F.transform(
         kept,
-        lambda fsp, fix: F.struct(
+        fresh2(lambda fsp, fix: F.struct(
             fsp["kind"].alias("kind"),
             fsp["text"].alias("text"),
             fsp["media_ref"].alias("media_ref"),
             fix.cast("int").alias("offset"),
-        ),
+        )),
     )
 
 

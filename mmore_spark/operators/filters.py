@@ -22,6 +22,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.hof import fresh
 from ..hashing import h60
 
 FilterFn = Callable[[DataFrame], Column]
@@ -72,12 +73,12 @@ def filter_gopher_repetition(text_col: str = "text",
     words (native aggregate over the words array)."""
     def fn(df: DataFrame) -> Column:
         words = F.filter(F.split(F.col(text_col), r"\s+"),
-                         lambda fw: F.length(fw) > 0)
+                         fresh(lambda fw: F.length(fw) > 0))
         n = F.size(words)
         top = F.array_max(
             F.transform(
                 F.array_distinct(words),
-                lambda dw: F.size(F.filter(words, lambda ow: ow == dw)),
+                fresh(lambda dw: F.size(F.filter(words, fresh(lambda ow: ow == dw)))),
             )
         )
         return (n == 0) | (top / n <= max_top_word_ratio)
@@ -88,7 +89,7 @@ def filter_c4_quality(text_col: str = "text", min_stopword_hits: int = 1) -> Fil
     """C4-style gate: requires some stopword presence (native)."""
     def fn(df: DataFrame) -> Column:
         words = F.split(F.col(text_col), r"\s+")
-        hits = F.size(F.filter(words, lambda cw: cw.isin(_STOPWORDS)))
+        hits = F.size(F.filter(words, fresh(lambda cw: cw.isin(_STOPWORDS))))
         return hits >= min_stopword_hits
     return fn
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.hof import fresh
 from ..hashing import h60
 
 N_PERMUTATIONS = 12
@@ -54,38 +55,69 @@ MAX_CC_ITERATIONS = 25
 def name_tokens(col) -> "F.Column":
     """UPPER alnum word tokens of a name (native expressions)."""
     cleaned = F.regexp_replace(F.upper(col), r"[^A-Z0-9 ]", "")
-    return F.filter(F.split(cleaned, r" +"), lambda ntk: F.length(ntk) > 0)
+    return F.filter(F.split(cleaned, r" +"), fresh(lambda ntk: F.length(ntk) > 0))
 
 
 def _digit_tokens(tokens) -> "F.Column":
-    return F.array_sort(F.filter(tokens, lambda dtk: dtk.rlike(r"^[0-9]+$")))
+    return F.array_sort(F.filter(tokens, fresh(lambda dtk: dtk.rlike(r"^[0-9]+$"))))
 
 
 def _word_tokens(tokens) -> "F.Column":
-    return F.filter(tokens, lambda wtk: ~wtk.rlike(r"^[0-9]+$"))
+    return F.filter(tokens, fresh(lambda wtk: ~wtk.rlike(r"^[0-9]+$")))
 
 
-def names_match(a_tokens, b_tokens) -> "F.Column":
-    """The verification predicate (module doc §2).
+def name_tokens_py(name: str) -> list[str]:
+    """Python twin of name_tokens."""
+    import re
 
-    Three conjunctive rules (all native expressions):
-      * digit tokens equal as sorted multisets;
+    return [t for t in re.sub(r"[^A-Z0-9 ]", "", name.upper()).split(" ") if t]
+
+
+def names_match_py(a: str, b: str) -> bool:
+    """The verification predicate (module doc §2) — pure Python.
+
+    Three conjunctive rules:
+      * digit tokens equal as sorted multisets (rejects "March 4, 2024"
+        vs "March 4, 2022");
       * ANCHOR: the names share ≥1 exact word token of length ≥3
         (stops single-letter initials absorbing unrelated names:
         "L. COSTA" vs "LUGANO" has no anchor);
       * COVERAGE: every word token of the token-poorer name prefix-matches
-        (either direction) some token of the richer one.
+        (either direction) some token of the richer one
+        ("A. KELLER" ≲ "ALICE KELLER", "ACME CORP" ≲ "ACME CORPORATION").
+
+    Python (vectorized via pandas_udf), NOT native array expressions:
+    deeply-nested higher-order-function lambdas evaluated inside a
+    collapsed join projection misfired intermittently in pyspark 4.1.2
+    (~1/20 runs merged two distinct dates) — see the module NOTE.  The
+    predicate runs only on LSH candidate pairs (dimension-scale), so the
+    Arrow hop costs nothing at corpus scale.
     """
-    prefix = lambda p1, p2: p2.startswith(p1) | p1.startswith(p2)  # noqa: E731
-    covered = lambda small, big: F.forall(  # noqa: E731
-        small, lambda cvs: F.exists(big, lambda cvb: prefix(cvs, cvb))
-    )
-    aw, bw = _word_tokens(a_tokens), _word_tokens(b_tokens)
-    long_words = lambda ts: F.filter(ts, lambda lwt: F.length(lwt) >= 3)  # noqa: E731
-    anchor = F.size(F.array_intersect(long_words(aw), long_words(bw))) > 0
-    words_ok = F.when(F.size(aw) <= F.size(bw), covered(aw, bw)).otherwise(covered(bw, aw))
-    digits_ok = _digit_tokens(a_tokens) == _digit_tokens(b_tokens)
-    return digits_ok & anchor & words_ok
+    ta, tb = name_tokens_py(a), name_tokens_py(b)
+    da = sorted(t for t in ta if t.isdigit())
+    db = sorted(t for t in tb if t.isdigit())
+    if da != db:
+        return False
+    wa = [t for t in ta if not t.isdigit()]
+    wb = [t for t in tb if not t.isdigit()]
+    if not set(t for t in wa if len(t) >= 3) & set(t for t in wb if len(t) >= 3):
+        return False
+    small, big = (wa, wb) if len(wa) <= len(wb) else (wb, wa)
+    return all(any(u.startswith(t) or t.startswith(u) for u in big) for t in small)
+
+
+def names_match_udf():
+    """Arrow-batched boolean predicate over (name_a, name_b) columns."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _match(a, b):
+        return pd.Series([names_match_py(x, y) for x, y in zip(a, b)], dtype="boolean")
+
+    # real type objects: `from __future__ import annotations` would turn
+    # inline hints into strings pandas_udf cannot resolve
+    _match.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_match, "boolean")
 
 
 def minhash_signature_expr(tokens_expr: str, n_perm: int = N_PERMUTATIONS) -> "F.Column":
@@ -167,11 +199,9 @@ def candidate_pairs(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame
 def match_edges(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:
     """Verified duplicate-name edges (name_a, name_b)."""
     pairs = candidate_pairs(names, n_perm)
-    return (
-        pairs.withColumn("ta", name_tokens(F.col("name_a")))
-        .withColumn("tb", name_tokens(F.col("name_b")))
-        .filter(names_match(F.col("ta"), F.col("tb")))
-        .select("name_a", "name_b")
+    match = names_match_udf()
+    return pairs.filter(match(F.col("name_a"), F.col("name_b"))).select(
+        "name_a", "name_b"
     )
 
 

@@ -23,6 +23,8 @@ from typing import Callable, Iterator
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from ..functions.hof import fresh
+
 MEDIA_FEATURES_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
     T.StructField("media_ref", T.StringType()),
@@ -72,7 +74,7 @@ def extract_media_features(df: DataFrame, decoder: Decoder = fake_decoder,
     """
     media = df.select(
         "doc_id",
-        F.explode(F.filter("spans", lambda msp2: msp2["kind"] != F.lit("text"))).alias("m"),
+        F.explode(F.filter("spans", fresh(lambda msp2: msp2["kind"] != F.lit("text")))).alias("m"),
     ).select(
         "doc_id", F.col("m.media_ref").alias("media_ref"), F.col("m.kind").alias("kind")
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..corpus.generator import ATTACHMENT_TAG
+from ..functions.hof import fresh
 
 
 def words_counter(text: str = "text") -> Column:
@@ -24,7 +25,7 @@ def words_counter(text: str = "text") -> Column:
 def modalities_counter(spans: str = "spans") -> Column:
     """len(modalities) (tagger/modalities.py:4-11) over the spans form."""
     return F.size(
-        F.filter(F.col(spans), lambda mc1: mc1["kind"] != F.lit("text"))
+        F.filter(F.col(spans), fresh(lambda mc1: mc1["kind"] != F.lit("text")))
     ).alias("modalities_count")
 
 

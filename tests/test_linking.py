@@ -38,10 +38,12 @@ def test_match_predicate_separates_alias_families(spark):
         if c1 != c2:
             pairs.append((a, b, False))
 
+    # pure-Python predicate (exhaustive, fast)
+    for a, b, expected in pairs:
+        assert linking.names_match_py(a, b) == expected, (a, b, expected)
+    # and through the Spark pandas_udf path
     df = spark.createDataFrame(pairs, ["a", "b", "expected"]).withColumn(
-        "got",
-        linking.names_match(linking.name_tokens(F.col("a")),
-                            linking.name_tokens(F.col("b"))),
+        "got", linking.names_match_udf()(F.col("a"), F.col("b"))
     )
     wrong = df.filter(F.col("got") != F.col("expected"))
     rows = wrong.limit(10).collect()
