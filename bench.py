@@ -22,12 +22,16 @@ import sys
 import time
 
 
-def _pipeline_docs_per_sec(spark, sf_dir: str) -> tuple[float, int]:
+def _pipeline_docs_per_sec(spark, sf_dir: str,
+                           corpus_path: str | None = None) -> tuple[float, int]:
     from mmore_spark.corpus.derive import derived_documents
     from mmore_spark.operators.agg import merge_triples_global
     from mmore_spark.plans.pipeline import build_graph
 
-    docs = derived_documents(spark, sf_dir)
+    if corpus_path:
+        docs = spark.read.parquet(corpus_path)
+    else:
+        docs = derived_documents(spark, sf_dir)
     n_docs = docs.count()  # warms the scan; excluded from the timed section
     t0 = time.time()
     _, canonical_triples, entities, _ = build_graph(docs)
@@ -77,26 +81,55 @@ def run_single(sf_dir: str, cpus: int) -> dict:
     }
 
 
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
+SCALE_CORPUS = os.environ.get("SPARK_GRAFT_SCALE_CORPUS", "/tmp/mmore_scale_corpus")
+
+
+def _ensure_scale_corpus(cpus: int) -> str:
+    """Generate the scaling corpus ONCE (seed 42, FIXTURES bench scale) —
+    identical input for both parallelism levels; generation is untimed."""
+    marker = os.path.join(SCALE_CORPUS, "_SUCCESS")
+    if not os.path.exists(marker):
+        from mmore_spark.corpus.generator import generate_documents
+        from mmore_spark.session import get_spark
+
+        spark = get_spark("bench-gen", master=f"local[{cpus}]")
+        spark.sparkContext.setLogLevel("ERROR")
+        generate_documents(spark, SCALE_DOCS, seed=42, partitions=256).write.mode(
+            "overwrite").parquet(SCALE_CORPUS)
+        spark.stop()
+    return SCALE_CORPUS
+
+
 def run_scaling(sf_dir: str, cpus_high: int) -> dict:
-    """Same pipeline job at N and 4N cores in fresh subprocesses."""
+    """Same pipeline job at N and 4N cores in fresh subprocesses over the
+    SAME generated corpus — the sandbox proxy for N vs 4N executor
+    clusters (BASELINE.md protocol).  The corpus is large enough
+    (SCALE_DOCS) that per-doc compute dominates the driver-side fixed
+    costs; at toy sizes efficiency is meaningless."""
+    corpus = _ensure_scale_corpus(cpus_high)
     cpus_low = max(1, cpus_high // 4)
     results = {}
     for c in (cpus_low, cpus_high):
         out = subprocess.run(
             [sys.executable, __file__, "--pipeline-only", str(c)],
             capture_output=True, text=True,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-            timeout=1800,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+                 "SPARK_GRAFT_PIPE_CORPUS": corpus},
+            timeout=3000,
         )
         line = out.stdout.strip().splitlines()[-1]
         results[c] = json.loads(line)
     dps_low = results[cpus_low]["docs_per_sec"]
     dps_high = results[cpus_high]["docs_per_sec"]
     return {
+        "n_docs": SCALE_DOCS,
         "cpus_low": cpus_low,
         "cpus_high": cpus_high,
         "docs_per_sec_low": dps_low,
         "docs_per_sec_high": dps_high,
+        "wall_low_s": results[cpus_low].get("wall_s"),
+        "wall_high_s": results[cpus_high].get("wall_s"),
         "scaling_efficiency": round(dps_high / (4 * dps_low), 4),
     }
 
@@ -112,8 +145,10 @@ def main() -> None:
         spark = get_spark("bench-scale", master=f"local[{c}]",
                           extra_conf={"spark.sql.shuffle.partitions": str(c)})
         spark.sparkContext.setLogLevel("ERROR")
-        dps, n_docs = _pipeline_docs_per_sec(spark, sf_dir)
-        print(json.dumps({"docs_per_sec": round(dps, 2), "n_docs": n_docs, "cpus": c}))
+        corpus = os.environ.get("SPARK_GRAFT_PIPE_CORPUS")
+        dps, n_docs = _pipeline_docs_per_sec(spark, sf_dir, corpus_path=corpus)
+        print(json.dumps({"docs_per_sec": round(dps, 2), "n_docs": n_docs,
+                          "cpus": c, "wall_s": round(n_docs / dps, 2)}))
         return
 
     result = run_single(sf_dir, cpus)

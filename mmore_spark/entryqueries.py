@@ -490,12 +490,16 @@ def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = base.mapInPandas(sig_batches, schema=schema).persist()
     sig.count()  # fill the cache once; the self-join reads it twice
     a, b = sig.alias("a"), sig.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").cast("long").alias("n_shared"))
+        # materialize the (small) result so the signature cache can be freed
+        .localCheckpoint()
     )
+    sig.unpersist()
+    return pairs
 
 
 _df_query("dedup_minhash_pairs", _dedup_minhash_spark, _dedup_minhash_pairs_sql(DUCK))

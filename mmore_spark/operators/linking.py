@@ -184,7 +184,7 @@ def candidate_pairs(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame
     sig.count()
     left = sig.alias("a")
     right = sig.alias("b")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("a.perm") == F.col("b.perm"))
@@ -193,7 +193,11 @@ def candidate_pairs(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame
         )
         .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
         .distinct()
+        # materialize the (small) pair set so the signature cache can be freed
+        .localCheckpoint()
     )
+    sig.unpersist()
+    return pairs
 
 
 def match_edges(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:
