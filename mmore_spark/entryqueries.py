@@ -804,3 +804,164 @@ def _chunk_word_sql(d: Dialect) -> str:
 
 
 _sql_query("chunk_word64", _chunk_word_sql)
+
+
+def _filter_kept_sql(d: Dialect) -> str:
+    """Quality-filter family (SURVEY.md §2.4) as one projection: per doc,
+    each gate's verdict + the first rejecting filter (exclusion-writer
+    contract) — gopher word-bounds, symbol ratio, c4 stopwords, url block,
+    deterministic sampler."""
+    if d.is_spark:
+        words = "split(text, ' ')"
+        stop_hits = "size(filter(split(text, ' '), __fw -> __fw IN ('the', 'a', 'of', 'to')))"
+    else:
+        words = "string_split(text, ' ')"
+        stop_hits = ("len(list_filter(string_split(text, ' '), "
+                     "__fw -> __fw IN ('the', 'a', 'of', 'to')))")
+    n = d.arr_len(words)
+    symbols = "length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))" if not d.is_spark \
+        else "length(regexp_replace(text, '[a-z0-9 ]', ''))"
+    gates = {
+        "gopher_words": f"({n} BETWEEN 5 AND 200000)",
+        "symbol_ratio": f"({symbols} * 1.0 / {n} <= 0.5)",
+        "c4_stopwords": f"({stop_hits} >= 1)",
+        "url_block": "(source NOT LIKE '%spam%')",
+        "sampler90": f"(({d.h60('cast(doc_id as string)', )} % 10) < 9)",
+    }
+    first_reject = "CASE " + " ".join(
+        f"WHEN NOT {cond} THEN '{name}'" for name, cond in gates.items()
+    ) + " ELSE NULL END"
+    keep = " AND ".join(gates.values())
+    verdicts = ", ".join(f"{cond} AS {name}" for name, cond in gates.items())
+    return (
+        f"SELECT doc_id, {verdicts}, ({keep}) AS kept, {first_reject} AS rejected_by "
+        f"FROM documents"
+    )
+
+
+_sql_query("filter_kept", _filter_kept_sql)
+
+
+def _kg_spans_explode_sql(d: Dialect) -> str:
+    """Full span-contract check at driver scale: the exploded
+    (doc_id, offset, kind, text, media_ref) rows of the derived
+    interleaved table, recomputed independently in each engine."""
+    t2 = derive.text2_sql(d)
+    h = d.h60("cast(doc_id as string)")
+    media = lambda k, i: (  # noqa: E731
+        f"SELECT doc_id, {i} AS offset, '{k}' AS kind, CAST(NULL AS VARCHAR) AS text, "
+        f"('media/' || cast(doc_id as string) || '/m-{0 if i == 0 else i - 1}.bin') AS media_ref "
+    )
+    text_row = lambda i: (  # noqa: E731
+        f"SELECT doc_id, {i} AS offset, 'text' AS kind, ({t2} || ' ') AS text, "
+        f"CAST(NULL AS VARCHAR) AS media_ref "
+    )
+    arms = [
+        f"{text_row(0)} FROM base WHERE hm = 0",
+        f"{media('image', 0)} FROM base WHERE hm = 1",
+        f"{text_row(1)} FROM base WHERE hm = 1",
+        f"{text_row(0)} FROM base WHERE hm = 2",
+        f"{media('audio', 1)} FROM base WHERE hm = 2",
+        f"{media('video', 0)} FROM base WHERE hm = 3",
+        f"{text_row(1)} FROM base WHERE hm = 3",
+        f"SELECT doc_id, 2 AS offset, 'image' AS kind, CAST(NULL AS VARCHAR) AS text, "
+        f"('media/' || cast(doc_id as string) || '/m-1.bin') AS media_ref FROM base WHERE hm = 3",
+    ]
+    return (
+        f"WITH base AS (SELECT doc_id, text, cast({h} % 4 as int) AS hm FROM documents)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+def _kg_spans_explode_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side: the actual derived spans table, exploded natively."""
+    docs = derive.derived_documents(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("int").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+_df_query("kg_spans_explode", _kg_spans_explode_spark, _kg_spans_explode_sql(DUCK))
+
+
+def _er_match_duck(a: str, b: str) -> str:
+    """DuckDB twin of linking.names_match_py over name expressions
+    (oracle side only — the Spark side runs the real operators)."""
+    toks = lambda e: (  # noqa: E731
+        f"list_filter(string_split(regexp_replace(upper({e}), '[^A-Z0-9 ]', '', 'g'), ' '), "
+        f"__t -> __t <> '')"
+    )
+    digits = lambda t: f"list_sort(list_filter({t}, __t -> regexp_matches(__t, '^[0-9]+$')))"  # noqa: E731
+    words = lambda t: f"list_filter({t}, __t -> NOT regexp_matches(__t, '^[0-9]+$'))"  # noqa: E731
+    lw = lambda t: f"list_filter({t}, __t -> len(__t) >= 3)"  # noqa: E731
+    covered = lambda s, g: (  # noqa: E731
+        f"len(list_filter({s}, __t -> len(list_filter({g}, "
+        f"__u -> starts_with(__u, __t) OR starts_with(__t, __u))) > 0)) = len({s})"
+    )
+    ta, tb = toks(a), toks(b)
+    wa, wb = words(ta), words(tb)
+    return (
+        f"({digits(ta)} = {digits(tb)}"
+        f" AND len(list_intersect({lw(wa)}, {lw(wb)})) > 0"
+        f" AND (CASE WHEN len({wa}) <= len({wb}) THEN {covered(wa, wb)} "
+        f"ELSE {covered(wb, wa)} END))"
+    )
+
+
+def _kg_linking_clusters_duck() -> str:
+    """Oracle: ER predicate over ALL name pairs (names are vocabulary-
+    bounded, so all-pairs is fine for the oracle) + transitive closure via
+    a recursive CTE; canonical election = most-mentioned then lex-min."""
+    mentions = _kg_mentions_sql(DUCK)
+    match = _er_match_duck("a.name", "b.name")
+    return f"""
+WITH RECURSIVE
+m AS ({mentions}),
+counts AS (SELECT entity_name AS name, count(*) AS nm FROM m GROUP BY 1),
+nodes AS (SELECT name FROM counts),
+edges AS (SELECT a.name AS na, b.name AS nb FROM nodes a JOIN nodes b
+          ON a.name < b.name AND {match}),
+sym AS (SELECT na, nb FROM edges UNION ALL SELECT nb, na FROM edges),
+reach(src, dst) AS (
+  SELECT name, name FROM nodes
+  UNION
+  SELECT r.src, s.nb FROM reach r JOIN sym s ON r.dst = s.na
+),
+comp AS (SELECT src AS name, min(dst) AS comp FROM reach GROUP BY src),
+elect AS (
+  SELECT c.comp, c.name, k.nm,
+         row_number() OVER (PARTITION BY c.comp ORDER BY k.nm DESC, c.name) AS rn
+  FROM comp c JOIN counts k ON c.name = k.name
+)
+SELECT
+  max(CASE WHEN rn = 1 THEN name END) AS canonical_name,
+  string_agg(name, ',' ORDER BY name) AS members,
+  CAST(count(*) AS BIGINT) AS n_names,
+  CAST(sum(nm) AS BIGINT) AS n_mentions
+FROM elect GROUP BY comp
+"""
+
+
+def _kg_linking_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side: the REAL linking path — LSH blocking + pandas ER
+    verification + iterative connected components + election
+    (operators/linking.py) — value-checked against the all-pairs oracle."""
+    from .operators import linking
+
+    mentions = _kg_mentions_spark(spark, sf_dir)
+    cmap = linking.canonicalize(mentions)
+    return cmap.groupBy("component").agg(
+        F.max_by("canonical_name", F.lit(1)).alias("canonical_name"),
+        F.concat_ws(",", F.sort_array(F.collect_set("name"))).alias("members"),
+        F.count("*").cast("long").alias("n_names"),
+        F.sum("n_mentions").cast("long").alias("n_mentions"),
+    ).drop("component")
+
+
+_df_query("kg_linking_clusters", _kg_linking_clusters_spark, _kg_linking_clusters_duck())
