@@ -45,7 +45,13 @@ DEFAULT_CHUNK_SIZE = 512  # tokens; multimodal.py:26
 
 _ROW_RE = re.compile(r"^\|(?:[^|\r\n]*\|)+$")       # utils.py:24
 _SEP_RE = re.compile(r"^(?:\| *:?-+:? *)+\|$")      # utils.py:27
-_SENT_END = re.compile(r"[.!?]+(?:(?=\s)|$)")
+# Sentence end: terminal punctuation followed by whitespace + an
+# uppercase/digit/table start — but NOT after a single-capital initial
+# ("A. Keller") and NOT before a lowercase continuation ("Acme Corp. is"),
+# so abbreviation periods never split a sentence.
+_SENT_END = re.compile(
+    r"(?<![ \n(>\"'][A-Z])(?<!\A[A-Z])[.!?]+(?=\s+[A-Z0-9\"'|]|\s*\Z)"
+)
 
 
 def count_tokens(text: str) -> int:

@@ -219,6 +219,51 @@ def extract_combined(df: DataFrame, text_col: str = "text",
     return df.select("doc_id", text_col).mapInPandas(run, schema=_COMBINED_SCHEMA)
 
 
+def extract_mentions_triples_chunked(documents: DataFrame,
+                                     chunk_size: int = 512,
+                                     table_mode: str = "single_row",
+                                     extractor: Extractor | None = None
+                                     ) -> tuple[DataFrame, DataFrame]:
+    """Reference postprocess ordering: chunker THEN extraction on chunks
+    (run_postprocess pipeline, SURVEY.md §3.2), with the cross-chunk
+    per-doc merge done relationally — set unions are associative and
+    weights additive, so the result equals doc-level extraction whenever
+    no relation sentence straddles a chunk boundary (the sentence chunker
+    never splits inside a sentence; tests assert exact equality)."""
+    from ..functions.spans import media_refs, render_text
+    from .chunker import chunk_stage
+
+    base = documents.select(
+        "doc_id",
+        render_text("spans").alias("text"),
+        media_refs("spans").alias("modalities"),
+    )
+    chunks = chunk_stage(base, chunk_size, table_mode)
+    mentions_c, triples_c = extract_mentions_triples(
+        chunks.select("doc_id", "text"), "text", extractor
+    )
+    mentions = (
+        mentions_c.groupBy("doc_id", "entity_name")
+        .agg(
+            F.max("entity_type").alias("entity_type"),  # '' loses to any type
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("descriptions"))))
+            .alias("descriptions"),
+        )
+    )
+    triples = (
+        triples_c.groupBy(
+            "doc_id",
+            F.least("subj", "obj").alias("subj"),
+            F.greatest("subj", "obj").alias("obj"),
+        )
+        .agg(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("pred")))).alias("pred"),
+            F.sum("weight").alias("weight"),
+        )
+    )
+    return mentions, triples
+
+
 def extract_mentions_triples(df: DataFrame, text_col: str = "text",
                              extractor: Extractor | None = None
                              ) -> tuple[DataFrame, DataFrame]:

@@ -209,16 +209,72 @@ def match_edges(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:
     )
 
 
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
-                         max_iterations: int = MAX_CC_ITERATIONS) -> DataFrame:
+                         max_iterations: int = MAX_CC_ITERATIONS,
+                         strategy: str = "auto") -> DataFrame:
     """nodes(name), edges(name_a, name_b) → (name, component) where
     component is the minimum 60-bit name hash in the component.
 
-    Min-label propagation with a driver-side convergence loop; each
-    iteration localCheckpoints to cut lineage (SURVEY.md §4 custom-code
-    item (c)).  Iterations ≈ graph diameter; alias clusters are stars, so
-    2-3 rounds in practice — the loop is still bounded defensively.
+    Strategies:
+      * ``driver`` — union-find on collected edges.  The name graph is
+        DIMENSION-scale (distinct entity names ≪ documents), so even a
+        10^12-doc corpus rarely exceeds a few 10^7 names; one collect +
+        one broadcast-able map replaces ~4 Spark jobs per iteration.
+      * ``distributed`` — min-label propagation loop with per-iteration
+        localCheckpoint (SURVEY.md §4 (c)); bounded by graph diameter.
+      * ``auto`` (default) — driver path when the edge count is under
+        DRIVER_CC_MAX_EDGES, else distributed.
+
+    Both produce identical labels (min name-hash per component) — asserted
+    by tests/test_linking.py.
     """
+    if strategy == "auto":
+        strategy = "driver" if edges.count() <= DRIVER_CC_MAX_EDGES else "distributed"
+    if strategy == "driver":
+        return _connected_components_driver(nodes, edges)
+    return _connected_components_distributed(nodes, edges, max_iterations)
+
+
+def _connected_components_driver(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    from ..hashing import h60_py
+
+    spark = nodes.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edge_rows = edges.select("name_a", "name_b").collect()
+    for r in edge_rows:
+        for n in (r["name_a"], r["name_b"]):
+            parent.setdefault(n, n)
+        ra, rb = find(r["name_a"]), find(r["name_b"])
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[str, int] = {}
+    for n in list(parent):
+        root = find(n)
+        h = h60_py(n)
+        comp_min[root] = min(comp_min.get(root, h), h)
+    labels = [(n, comp_min[find(n)]) for n in parent]
+    linked = spark.createDataFrame(labels, "name string, component long") \
+        if labels else spark.createDataFrame([], "name string, component long")
+    all_names = nodes.select("name").distinct()
+    return (
+        all_names.join(F.broadcast(linked), "name", "left")
+        .withColumn("component", F.coalesce(F.col("component"), h60(F.col("name"))))
+    )
+
+
+def _connected_components_distributed(nodes: DataFrame, edges: DataFrame,
+                                      max_iterations: int = MAX_CC_ITERATIONS
+                                      ) -> DataFrame:
     labels = nodes.select("name").distinct().withColumn("component", h60(F.col("name")))
     sym = (
         edges.select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))

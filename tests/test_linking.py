@@ -73,12 +73,17 @@ def test_connected_components_chain(spark):
     edges = spark.createDataFrame(
         [("A", "B"), ("B", "C"), ("D", "E")], ["name_a", "name_b"]
     )
-    comps = {r["name"]: r["component"] for r in
-             linking.connected_components(nodes, edges).collect()}
-    assert comps["A"] == comps["B"] == comps["C"]
-    assert comps["D"] == comps["E"]
-    assert comps["A"] != comps["D"]
-    assert len({comps["F"], comps["G"], comps["A"], comps["D"]}) == 4
+    results = {}
+    for strategy in ("driver", "distributed"):
+        comps = {r["name"]: r["component"] for r in
+                 linking.connected_components(nodes, edges, strategy=strategy).collect()}
+        assert comps["A"] == comps["B"] == comps["C"]
+        assert comps["D"] == comps["E"]
+        assert comps["A"] != comps["D"]
+        assert len({comps["F"], comps["G"], comps["A"], comps["D"]}) == 4
+        results[strategy] = comps
+    # both strategies produce IDENTICAL labels
+    assert results["driver"] == results["distributed"]
 
 
 def test_canonical_clusters_match_golden(spark, small_docs, small_docs_df):
