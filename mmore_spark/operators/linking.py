@@ -250,6 +250,7 @@ def _connected_components_driver(nodes: DataFrame, edges: DataFrame) -> DataFram
             x = parent[x]
         return x
 
+    # guard-ok: dimension-scale collect — distinct-name edges, not row data
     edge_rows = edges.select("name_a", "name_b").collect()
     for r in edge_rows:
         for n in (r["name_a"], r["name_b"]):

@@ -24,8 +24,12 @@ def test_no_row_level_python():
     offenders = []
     for path in SRC.rglob("*.py"):
         text = path.read_text()
+        lines = text.splitlines()
         for pat, label in FORBIDDEN:
             for m in pat.finditer(text):
                 line = text[: m.start()].count("\n") + 1
+                context = "\n".join(lines[max(0, line - 2): line])
+                if "guard-ok:" in context:
+                    continue  # explicitly justified (dimension-scale data)
                 offenders.append(f"{path.name}:{line} {label}")
     assert not offenders, offenders
