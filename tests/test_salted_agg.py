@@ -1,0 +1,54 @@
+"""FIXTURES.md skew_probe: the salted two-phase aggregation must produce
+IDENTICAL results to a plain groupBy, including under a hot key present in
+a large fraction of rows (the Zipf head)."""
+
+from pyspark.sql import functions as F
+
+from mmore_spark.operators.agg import merge_entities_global, merge_triples_global
+
+
+def _skewed_triples(spark, n=4000):
+    # ~25% of rows hit one hot pair (the skew probe)
+    rows = []
+    for i in range(n):
+        if i % 4 == 0:
+            s, o = "HOT ENTITY", "PARTNER"
+        else:
+            s, o = f"E{i % 97}", f"F{i % 89}"
+        rows.append((f"doc-{i}", min(s, o), max(s, o), [f"pred{i % 5}"], 1.0))
+    return spark.createDataFrame(
+        rows, "doc_id string, subj string, obj string, pred array<string>, weight double")
+
+
+def test_salted_merge_equals_plain(spark):
+    t = _skewed_triples(spark)
+    salted = {
+        (r["subj"], r["obj"]): (r["weight"], tuple(r["pred"]), r["n_docs"])
+        for r in merge_triples_global(t, n_salts=16).collect()
+    }
+    plain = {
+        (r["subj"], r["obj"]): (r["weight"], tuple(r["pred"]), r["n_docs"])
+        for r in t.groupBy("subj", "obj").agg(
+            F.sum("weight").alias("weight"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("pred")))).alias("pred"),
+            F.count("*").alias("n_docs"),
+        ).collect()
+    }
+    assert salted == plain
+    hot = salted[("HOT ENTITY", "PARTNER")]
+    assert hot[0] == 1000.0 and hot[2] == 1000
+
+
+def test_salted_entities_equals_plain(spark):
+    m = spark.createDataFrame(
+        [(f"doc-{i}", "HOT" if i % 3 == 0 else f"N{i % 50}", "PERSON",
+          [f"d{i % 4}"]) for i in range(3000)],
+        "doc_id string, entity_name string, entity_type string, descriptions array<string>")
+    salted = {r["entity_name"]: (r["n_mentions"], tuple(r["descriptions"]))
+              for r in merge_entities_global(m).collect()}
+    plain = {r["entity_name"]: (r["n_mentions"], tuple(r["descriptions"]))
+             for r in m.groupBy("entity_name").agg(
+                 F.count("*").alias("n_mentions"),
+                 F.array_sort(F.array_distinct(F.flatten(F.collect_list("descriptions"))))
+                 .alias("descriptions")).collect()}
+    assert salted == plain
