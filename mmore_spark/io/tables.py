@@ -98,3 +98,48 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "_lineage"))
+
+
+def upsert_table(spark: SparkSession, path: str, updates: DataFrame,
+                 key: str = "doc_id", version_col: str | None = None) -> dict:
+    """MERGE-style upsert: rows in ``updates`` replace existing rows with
+    the same key (latest-wins when ``version_col`` is given, else updates
+    always win).  With Iceberg this is ``MERGE INTO``; the parquet
+    fallback rewrites via an adjacent temp dir + atomic directory swap so
+    a crash mid-upsert never corrupts the table.
+
+    Reference analog: previous-results reuse keyed by file_path with max
+    processed_at (/root/reference/src/mmore/process/incremental.py:24-48).
+    """
+    import shutil
+
+    if not os.path.isdir(path) or not os.listdir(path):
+        summary = write_table(updates, path, stage="upsert-init")
+        summary["inserted"] = summary["rows"]
+        return summary
+
+    existing = read_table(spark, path)
+    if version_col:
+        from pyspark.sql import Window
+
+        merged = existing.unionByName(updates, allowMissingColumns=True)
+        w = Window.partitionBy(key).orderBy(
+            F.col(version_col).desc_nulls_last(), F.monotonically_increasing_id()
+        )
+        merged = merged.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1).drop("_rn")
+    else:
+        keep = existing.join(updates.select(key).distinct(), key, "left_anti")
+        merged = keep.unionByName(updates, allowMissingColumns=True)
+
+    tmp = path.rstrip("/") + ".__upsert_tmp"
+    old = path.rstrip("/") + ".__upsert_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    summary = write_table(merged, tmp, stage="upsert")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+    summary["path"] = path
+    return summary
