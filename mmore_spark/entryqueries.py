@@ -784,6 +784,112 @@ def _rel_topk_fusion_sql(d: Dialect) -> str:
 _sql_query("rel_topk_fusion", _rel_topk_fusion_sql)
 
 
+def _rel_sessions_sql(d: Dialect) -> str:
+    """Event sessionization: a session break is a >30-minute gap per user
+    (gap-based windows via lag; stateful-streaming semantics expressed as
+    a batch window program).  Returns per-session aggregates."""
+    return (
+        "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(round(sum(value), 4) AS DOUBLE) AS session_value "
+        "FROM ("
+        "  SELECT user_id, value, "
+        "  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+        "  FROM ("
+        "    SELECT user_id, ts, event_id, value, "
+        "    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "    IS NULL THEN 1 WHEN CAST(ts AS TIMESTAMP) > "
+        "    CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "    AS TIMESTAMP) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new "
+        "    FROM events) g"
+        ") s GROUP BY user_id, session_id"
+    )
+
+
+_sql_query("rel_sessions", _rel_sessions_sql)
+
+
+def _rel_rollup_sql(d: Dialect) -> str:
+    """Hierarchical rollup: per (event_type, user bucket) with subtotals
+    (GROUP BY ROLLUP — grouping-set machinery)."""
+    stype = "string" if d.is_spark else "VARCHAR"
+    return (
+        f"SELECT coalesce(event_type, '<ALL>') AS event_type, "
+        f"coalesce(CAST(user_id % 10 AS {stype}), '<ALL>') AS user_bucket, "
+        f"CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(round(sum(value), 4) AS DOUBLE) AS total_value "
+        f"FROM events GROUP BY ROLLUP (event_type, (user_id % 10))"
+    )
+
+
+_sql_query("rel_rollup", _rel_rollup_sql)
+
+
+def _kg_cooccurrence_sql(d: Dialect) -> str:
+    """Entity co-occurrence graph: pairs of entities mentioned in the same
+    document with doc counts (the raw signal behind edge weighting)."""
+    mentions = _kg_mentions_sql(d)
+    return (
+        f"WITH m AS (\n{mentions}\n)\n"
+        "SELECT a.entity_name AS ent_a, b.entity_name AS ent_b, "
+        "CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs "
+        "FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity_name < b.entity_name "
+        "GROUP BY 1, 2"
+    )
+
+
+_sql_query("kg_cooccurrence", _kg_cooccurrence_sql)
+
+
+def _dedup_groups_duck() -> str:
+    """Oracle: transitive closure of jaccard-verified near-dup pairs via a
+    recursive CTE → dedup groups with an elected keeper (min doc_id)."""
+    pairs = _dedup_jaccard_sql(DUCK)
+    return f"""
+WITH RECURSIVE
+p AS ({pairs}),
+nodes AS (SELECT doc_a AS d FROM p UNION SELECT doc_b FROM p),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+reach(src, dst) AS (
+  SELECT d, d FROM nodes
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT CAST(min(dst) AS BIGINT) AS keeper_doc_id,
+       string_agg(DISTINCT CAST(src AS VARCHAR), ',' ORDER BY CAST(src AS VARCHAR)) AS members,
+       CAST(count(DISTINCT src) AS BIGINT) AS group_size
+FROM (SELECT src, min(dst) OVER (PARTITION BY src) AS comp, dst FROM reach) t
+GROUP BY comp
+"""
+
+
+def _dedup_groups_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side: the REAL operators — banded-LSH candidates + jaccard
+    verify + connected components → dedup groups (keeper = min doc id)."""
+    from .operators import linking
+
+    pairs = _dedup_jaccard_spark(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("name_a"),
+        F.col("doc_b").cast("string").alias("name_b"),
+    )
+    nodes = edges.select(F.col("name_a").alias("name")).unionByName(
+        edges.select(F.col("name_b").alias("name"))).distinct()
+    comps = linking.connected_components(nodes, edges)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.min(F.col("name").cast("long")).alias("keeper_doc_id"),
+            F.concat_ws(",", F.sort_array(F.collect_set("name"))).alias("members"),
+            F.count_distinct("name").cast("long").alias("group_size"),
+        )
+        .drop("component")
+    )
+
+
+_df_query("dedup_groups", _dedup_groups_spark, _dedup_groups_duck())
+
+
 def _chunk_word_sql(d: Dialect) -> str:
     """Chunker partitioning semantics: 64-word chunks per doc →
     (doc_id, chunk_idx, n_tokens) (chunker/multimodal.py:187-245 family;

@@ -70,10 +70,11 @@ def main() -> int:
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
             failures += 1
             continue
-        if not a.equals(b):
-            neq = (a != b).any(axis=1)
-            print(f"FAIL  {name}: {int(neq.sum())}/{len(a)} rows differ; first:")
-            print(pd.concat([a[neq].head(3), b[neq].head(3)]).to_string())
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
+                                          rtol=0, atol=1e-9)
+        except AssertionError as e:
+            print(f"FAIL  {name}: {str(e)[:400]}")
             failures += 1
             continue
         print(f"ok    {name}: rows={len(sdf)}")
