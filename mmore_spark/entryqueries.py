@@ -300,8 +300,9 @@ def _tag_quality_sql(d: Dialect) -> str:
     n = d.arr_len(words)
     return (
         f"SELECT doc_id, "
-        f"{d.double(f'round((length(text) + 1.0) / {n} - 1.0, 6)')} AS mean_word_len, "
-        f"{d.double(f'round({stop} * 1.0 / {n}, 6)')} AS stopword_ratio "
+        f"CAST(round(((length(text) + 1.0) / {n} - 1.0) * 1000000, 0) AS BIGINT) "
+        f"AS mean_word_len_e6, "
+        f"CAST(round(({stop} * 1.0 / {n}) * 1000000, 0) AS BIGINT) AS stopword_ratio_e6 "
         f"FROM documents"
     )
 
@@ -525,7 +526,7 @@ def _dedup_jaccard_sql(d: Dialect) -> str:
         f"FROM cand JOIN w wa ON cand.doc_a = wa.doc_id "
         f"JOIN w wb ON cand.doc_b = wb.doc_id)\n"
         f"SELECT doc_a, doc_b, "
-        f"{d.double(f'round({inter} * 1.0 / {union}, 6)')} AS jaccard "
+        f"CAST(round({inter} * 1000000.0 / {union}, 0) AS BIGINT) AS jaccard_e6 "
         f"FROM joined WHERE round({inter} * 1.0 / {union}, 6) >= 0.8"
     )
 
@@ -543,16 +544,24 @@ def _dedup_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         cand.join(wa, "doc_a").join(wb, "doc_b")
         .withColumn(
-            "jaccard",
+            "_jac",
             F.round(
                 F.size(F.array_intersect("wa", "wb"))
                 / F.size(F.array_union("wa", "wb")),
                 6,
-            ).cast("double"),
+            ),
         )
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("_jac") >= 0.8)
+        .withColumn(
+            "jaccard_e6",
+            F.round(
+                F.size(F.array_intersect("wa", "wb")) * 1000000.0
+                / F.size(F.array_union("wa", "wb")),
+                0,
+            ).cast("long"),
+        )
     )
-    return j.select("doc_a", "doc_b", "jaccard")
+    return j.select("doc_a", "doc_b", "jaccard_e6")
 
 
 _df_query("dedup_jaccard_pairs", _dedup_jaccard_spark, _dedup_jaccard_sql(DUCK))
@@ -658,6 +667,7 @@ def _sim_ann_pairs_sql(d: Dialect) -> str:
     eb = dcast % "b.embedding"
     norm_a, norm_b = norm("ea"), norm("eb")
     sim = f"round({dot} / ({norm_a} * {norm_b}), 4)"
+    sim_e4 = f"CAST(round({dot} * 10000 / ({norm_a} * {norm_b}), 0) AS BIGINT)"
     return (
         f"WITH bk AS ({buckets}),\n"
         f"pairs AS (SELECT x.vec_id AS va, y.vec_id AS vb FROM bk x JOIN bk y "
@@ -666,7 +676,7 @@ def _sim_ann_pairs_sql(d: Dialect) -> str:
         f"j AS (SELECT va, vb, {ea} AS ea, {eb} AS eb FROM pairs "
         f"JOIN embeddings a ON pairs.va = a.vec_id "
         f"JOIN embeddings b ON pairs.vb = b.vec_id)\n"
-        f"SELECT va, vb, {d.double(sim)} AS cos_sim FROM j WHERE {sim} >= 0.5"
+        f"SELECT va, vb, {sim_e4} AS cos_sim_e4 FROM j WHERE {sim} >= 0.2"
     )
 
 
@@ -772,9 +782,10 @@ def _rel_topk_fusion_sql(d: Dialect) -> str:
     WeightedRanker): 0.7·value + 0.3·hash-derived score, top-10 per type."""
     h = d.h60("cast(event_id as string)")
     return (
-        f"SELECT event_type, event_id, score FROM ("
+        f"SELECT event_type, event_id, score_e6 FROM ("
         f"SELECT event_type, event_id, "
-        f"{d.double(f'round(0.7 * value + 0.3 * (({h} % 1000) / 1000.0), 6)')} AS score, "
+        f"CAST(round((0.7 * value + 0.3 * (({h} % 1000) / 1000.0)) * 1000000, 0) AS BIGINT) "
+        f"AS score_e6, "
         f"row_number() OVER (PARTITION BY event_type ORDER BY "
         f"round(0.7 * value + 0.3 * (({h} % 1000) / 1000.0), 6) DESC, event_id) AS rn "
         f"FROM events) t WHERE rn <= 10"
@@ -790,7 +801,7 @@ def _rel_sessions_sql(d: Dialect) -> str:
     a batch window program).  Returns per-session aggregates."""
     return (
         "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, "
-        "CAST(round(sum(value), 4) AS DOUBLE) AS session_value "
+        "CAST(round(sum(value) * 10000, 0) AS BIGINT) AS session_value_e4 "
         "FROM ("
         "  SELECT user_id, value, "
         "  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
@@ -817,7 +828,7 @@ def _rel_rollup_sql(d: Dialect) -> str:
         f"SELECT coalesce(event_type, '<ALL>') AS event_type, "
         f"coalesce(CAST(user_id % 10 AS {stype}), '<ALL>') AS user_bucket, "
         f"CAST(count(*) AS BIGINT) AS n, "
-        f"CAST(round(sum(value), 4) AS DOUBLE) AS total_value "
+        f"CAST(round(sum(value) * 10000, 0) AS BIGINT) AS total_value_e4 "
         f"FROM events GROUP BY ROLLUP (event_type, (user_id % 10))"
     )
 
