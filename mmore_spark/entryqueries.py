@@ -241,7 +241,7 @@ def _kg_span_render_sql(d: Dialect) -> str:
         f"SELECT doc_id, "
         f"CASE cast({h} % 4 as int) WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END "
         f"AS n_media, "
-        f"length({t2}) + 1 AS text_len "
+        f"CAST(length({t2}) + 1 AS BIGINT) AS text_len "
         f"FROM documents"
     )
 
@@ -258,7 +258,7 @@ def _tag_word_count_sql(d: Dialect) -> str:
     words = "split(text, ' ')" if d.is_spark else "string_split(text, ' ')"
     return (
         f"SELECT doc_id, CAST({d.arr_len(words)} AS BIGINT) AS word_count, "
-        f"length(text) AS char_count FROM documents"
+        f"CAST(length(text) AS BIGINT) AS char_count FROM documents"
     )
 
 
@@ -800,7 +800,7 @@ def _rel_sessions_sql(d: Dialect) -> str:
     (gap-based windows via lag; stateful-streaming semantics expressed as
     a batch window program).  Returns per-session aggregates."""
     return (
-        "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(count(*) AS BIGINT) AS n_events, "
         "CAST(round(sum(value) * 10000, 0) AS BIGINT) AS session_value_e4 "
         "FROM ("
         "  SELECT user_id, value, "
@@ -907,13 +907,13 @@ def _chunk_word_sql(d: Dialect) -> str:
     full table-aware chunker is the pandas-UDF path, pytest-gated)."""
     if d.is_spark:
         return (
-            "SELECT doc_id, chunk_idx, CAST(least(64, n - 64 * chunk_idx) AS BIGINT) "
+            "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, CAST(least(64, n - 64 * chunk_idx) AS BIGINT) "
             "AS n_tokens FROM ("
             "SELECT doc_id, size(split(text, ' ')) AS n FROM documents) t "
             "LATERAL VIEW explode(sequence(0, cast(ceil(n / 64.0) as int) - 1)) x AS chunk_idx"
         )
     return (
-        "SELECT doc_id, chunk_idx, CAST(least(64, n - 64 * chunk_idx) AS BIGINT) "
+        "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, CAST(least(64, n - 64 * chunk_idx) AS BIGINT) "
         "AS n_tokens FROM ("
         "SELECT doc_id, n, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS chunk_idx "
         "FROM (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents) b) t"
