@@ -1031,16 +1031,21 @@ def _er_match_duck(a: str, b: str) -> str:
     )
 
 
-def _kg_linking_clusters_duck() -> str:
-    """Oracle: ER predicate over ALL name pairs (names are vocabulary-
-    bounded, so all-pairs is fine for the oracle) + transitive closure via
-    a recursive CTE; canonical election = most-mentioned then lex-min."""
+def _canon_ctes() -> str:
+    """Shared oracle CTE prefix: mentions → all-pairs ER edges → recursive-
+    CTE connected components → canonical election → name→canonical map.
+
+    DuckDB twin of linking.canonicalize (names are vocabulary-bounded, so
+    all-pairs ER is fine for the oracle; the Spark side runs LSH blocking).
+    Election mirrors canonicalize exactly: canonical name = most-mentioned
+    then lex-min (rn); component type = most-mentioned name's type, ties →
+    lexicographically greatest type (rt — linking.entities_table)."""
     mentions = _kg_mentions_sql(DUCK)
     match = _er_match_duck("a.name", "b.name")
     return f"""
-WITH RECURSIVE
 m AS ({mentions}),
-counts AS (SELECT entity_name AS name, count(*) AS nm FROM m GROUP BY 1),
+counts AS (SELECT entity_name AS name, count(*) AS nm, min(entity_type) AS etype
+           FROM m GROUP BY 1),
 nodes AS (SELECT name FROM counts),
 edges AS (SELECT a.name AS na, b.name AS nb FROM nodes a JOIN nodes b
           ON a.name < b.name AND {match}),
@@ -1052,10 +1057,22 @@ reach(src, dst) AS (
 ),
 comp AS (SELECT src AS name, min(dst) AS comp FROM reach GROUP BY src),
 elect AS (
-  SELECT c.comp, c.name, k.nm,
-         row_number() OVER (PARTITION BY c.comp ORDER BY k.nm DESC, c.name) AS rn
+  SELECT c.comp, c.name, k.nm, k.etype,
+         row_number() OVER (PARTITION BY c.comp ORDER BY k.nm DESC, c.name) AS rn,
+         row_number() OVER (PARTITION BY c.comp ORDER BY k.nm DESC, k.etype DESC) AS rt
   FROM comp c JOIN counts k ON c.name = k.name
-)
+),
+canon AS (SELECT comp, name AS canonical_name FROM elect WHERE rn = 1),
+cmap AS (SELECT e.name, c.canonical_name FROM comp e JOIN canon c ON e.comp = c.comp)
+"""
+
+
+def _kg_linking_clusters_duck() -> str:
+    """Oracle: ER predicate over ALL name pairs + transitive closure via
+    a recursive CTE; canonical election = most-mentioned then lex-min."""
+    return f"""
+WITH RECURSIVE
+{_canon_ctes()}
 SELECT
   max(CASE WHEN rn = 1 THEN name END) AS canonical_name,
   string_agg(name, ',' ORDER BY name) AS members,
@@ -1082,3 +1099,93 @@ def _kg_linking_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _df_query("kg_linking_clusters", _kg_linking_clusters_spark, _kg_linking_clusters_duck())
+
+
+# ===========================================================================
+# Full pipeline end-to-end (render → extract → link → rewrite → salted
+# global merge) — the flagship outputs, value-checked against the same
+# recursive-CTE canonicalization oracle extended through the rewrite +
+# merge (VERDICT r01 #1: these were the only rows-only entries).
+# ===========================================================================
+
+def _kg_pipeline_triples_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline → globally merged canonical triples.  Spark side runs
+    the REAL operators: spans render, one-Arrow-stage extraction
+    (operators/extract.py), LSH+ER+CC canonicalization (operators/
+    linking.py), broadcast rewrite, two-phase salted merge (operators/
+    agg.py)."""
+    from .operators.agg import merge_triples_global
+    from .plans.pipeline import build_graph
+
+    docs = derive.derived_documents(spark, sf_dir)
+    _, canonical_triples, _, _ = build_graph(docs)
+    merged = merge_triples_global(canonical_triples)
+    return merged.select(
+        "subj", "obj", F.concat_ws(",", "pred").alias("preds"), "weight", "n_docs"
+    )
+
+
+def _kg_pipeline_triples_duck() -> str:
+    """Oracle: per-doc extracted triples (kg_triples SQL) rewritten through
+    the all-pairs canonical map, unordered-pair orientation, then the
+    global merge semantics of agg.merge_triples_global (weight = summed
+    per-record 1.0 quirk ⇒ row count; n_docs = supporting row count;
+    preds = sorted distinct union)."""
+    triples = _kg_triples_sql(DUCK)
+    return f"""
+WITH RECURSIVE
+{_canon_ctes()},
+t AS (SELECT * FROM (\n{triples}\n) __t),
+rw AS (SELECT coalesce(cs.canonical_name, t.subj) AS s,
+              coalesce(co.canonical_name, t.obj) AS o,
+              t.pred
+       FROM t LEFT JOIN cmap cs ON t.subj = cs.name
+              LEFT JOIN cmap co ON t.obj = co.name)
+SELECT least(s, o) AS subj, greatest(s, o) AS obj,
+       string_agg(DISTINCT pred, ',' ORDER BY pred) AS preds,
+       CAST(count(*) AS DOUBLE) AS weight,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM rw GROUP BY 1, 2
+"""
+
+
+_df_query("kg_pipeline_triples", _kg_pipeline_triples_spark, _kg_pipeline_triples_duck())
+
+
+def _kg_pipeline_entities_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical entity table with alias members (linking.entities_table
+    over the real pipeline's canonical map)."""
+    from .plans.pipeline import build_graph
+
+    docs = derive.derived_documents(spark, sf_dir)
+    _, _, entities, _ = build_graph(docs)
+    return entities.select(
+        "canonical_id",
+        "canonical_name",
+        "entity_type",
+        F.concat_ws(",", "members").alias("members"),
+        "n_mentions",
+    )
+
+
+def _kg_pipeline_entities_duck() -> str:
+    """Oracle: canonical election + per-component rollup mirroring
+    linking.entities_table (members = sorted alias csv, n_mentions = sum,
+    entity_type = rt-elected; canonical_id = h60 of the canonical name)."""
+    h = DUCK.h60("canonical_name")
+    return f"""
+WITH RECURSIVE
+{_canon_ctes()},
+grouped AS (
+  SELECT max(CASE WHEN rn = 1 THEN name END) AS canonical_name,
+         max(CASE WHEN rt = 1 THEN etype END) AS entity_type,
+         string_agg(name, ',' ORDER BY name) AS members,
+         CAST(sum(nm) AS BIGINT) AS n_mentions
+  FROM elect GROUP BY comp
+)
+SELECT {h} AS canonical_id, canonical_name, entity_type, members, n_mentions
+FROM grouped
+"""
+
+
+_df_query("kg_pipeline_entities", _kg_pipeline_entities_spark, _kg_pipeline_entities_duck())

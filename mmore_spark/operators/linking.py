@@ -327,8 +327,16 @@ def canonicalize(mentions: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame
         mentions.groupBy(F.col("entity_name").alias("name"))
         .agg(
             F.count("*").alias("n_mentions"),
-            F.max_by("entity_type", F.length(F.coalesce("entity_type", F.lit(""))))
-            .alias("entity_type"),
+            # deterministic election: longest type wins, ties broken
+            # lexicographically (a bare max_by ties arbitrarily, which would
+            # break value-level oracle comparison)
+            F.max_by(
+                "entity_type",
+                F.struct(
+                    F.length(F.coalesce("entity_type", F.lit(""))).alias("l"),
+                    F.coalesce("entity_type", F.lit("")).alias("t"),
+                ),
+            ).alias("entity_type"),
         )
         # dimension-sized (distinct names); cut lineage so the LSH self-join
         # and the CC loop don't re-aggregate the full mention set repeatedly
@@ -356,7 +364,10 @@ def entities_table(canonical_map: DataFrame) -> DataFrame:
     return (
         canonical_map.groupBy("canonical_id", "canonical_name")
         .agg(
-            F.max_by("entity_type", "n_mentions").alias("entity_type"),
+            # deterministic: most-mentioned surface form's type, ties broken
+            # by lexicographically greatest type (oracle-comparable)
+            F.max_by("entity_type", F.struct(F.col("n_mentions"), F.col("entity_type")))
+            .alias("entity_type"),
             F.sort_array(F.collect_set("name")).alias("members"),
             F.sum("n_mentions").alias("n_mentions"),
         )

@@ -64,6 +64,143 @@ def parse_html(path: str, payload: bytes) -> tuple[str, list]:
     return re.sub(r"\s+", " ", text).strip(), refs
 
 
+def _clean_py(text: str) -> str:
+    """Python twin of operators.taggers.clean_text (native approximation of
+    the reference's cleantext wrapper, process/utils.py:28-57): strip
+    control chars, collapse horizontal whitespace, mask emails/urls."""
+    text = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", text)
+    text = re.sub(r"[ \t]+", " ", text)
+    text = re.sub(r"\S+@\S+\.\S+", "<EMAIL>", text)
+    text = re.sub(r"https?://\S+", "<URL>", text)
+    return text.strip()
+
+
+def parse_eml(path: str, payload: bytes) -> tuple[str, list]:
+    """EML processor (eml_processor.py:44-110), stdlib ``email``:
+    From/To/Subject/Date header lines + cleaned text/plain parts; image/*
+    parts become ``<attachment>`` placeholders with ordered refs."""
+    import email
+    from email import policy
+
+    msg = email.message_from_bytes(payload, policy=policy.default)
+    parts: list[str] = []
+    refs: list[tuple[str, str]] = []
+    for h in ("From", "To", "Subject", "Date"):
+        parts.append(_clean_py(f"{h}: {msg.get(h, '')}"))
+    n_img = 0
+    for part in msg.walk():
+        ctype = part.get_content_type()
+        if ctype == "text/plain":
+            try:
+                cleaned = _clean_py(part.get_content())
+            except Exception:
+                continue
+            if cleaned.strip():
+                parts.append(cleaned)
+        elif ctype.startswith("image/"):
+            refs.append(("image", f"{path}#image{n_img}"))
+            parts.append(ATTACHMENT_TAG)
+            n_img += 1
+    return "\n".join(parts), refs
+
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_PKG_RNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _xlsx_cell_col(ref: str) -> int:
+    """'B3' → 0-based column index 1."""
+    col = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        col = col * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return col - 1
+
+
+def _xlsx_grid(ws_xml: bytes, shared: list[str]) -> list[list]:
+    """Worksheet XML → row-major cell grid (openpyxl-free)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(ws_xml)
+    grid: list[list] = []
+    for row in root.iter(f"{_XLSX_NS}row"):
+        cells: list = []
+        for c in row.iter(f"{_XLSX_NS}c"):
+            ref = c.get("r", "")
+            col = _xlsx_cell_col(ref) if ref else len(cells)
+            ctype = c.get("t", "n")
+            v = c.find(f"{_XLSX_NS}v")
+            if ctype == "inlineStr":
+                t = c.find(f"{_XLSX_NS}is/{_XLSX_NS}t")
+                val = t.text if t is not None else None
+            elif v is None or v.text is None:
+                val = None
+            elif ctype == "s":
+                val = shared[int(v.text)]
+            elif ctype == "str":
+                val = v.text
+            elif ctype == "b":
+                val = bool(int(v.text))
+            else:
+                f = float(v.text)
+                val = int(f) if f.is_integer() else f
+            while len(cells) < col:
+                cells.append(None)
+            cells.append(val)
+        grid.append(cells)
+    width = max((len(r) for r in grid), default=0)
+    return [r + [None] * (width - len(r)) for r in grid]
+
+
+def parse_xlsx(path: str, payload: bytes) -> tuple[str, list]:
+    """Spreadsheet processor (spreadsheet_processor.py:47-112) without
+    openpyxl: zipfile + xml.etree parse of the OOXML parts, then the
+    reference's exact text shape — per sheet ``"Sheet: {name}\\n" +
+    df.to_string(index=False)`` with the first row as header."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in root.iter(f"{_XLSX_NS}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+    rels = {}
+    for rel in ET.fromstring(zf.read("xl/_rels/workbook.xml.rels")).iter(
+        f"{_PKG_RNS}Relationship"
+    ):
+        rels[rel.get("Id")] = rel.get("Target").lstrip("/")
+    text = ""
+    for sheet in ET.fromstring(zf.read("xl/workbook.xml")).iter(f"{_XLSX_NS}sheet"):
+        target = rels[sheet.get(f"{_XLSX_RNS}id")]
+        if not target.startswith("xl/"):
+            target = f"xl/{target}"
+        grid = _xlsx_grid(zf.read(target), shared)
+        header, data = (grid[0], grid[1:]) if grid else ([], [])
+        df = pd.DataFrame(data, columns=header)
+        text += f"Sheet: {sheet.get('name')}\n"
+        text += df.to_string(index=False) + "\n\n"
+    return text.strip(), []
+
+
+def parse_csv(path: str, payload: bytes) -> tuple[str, list]:
+    """CSV/TSV branch of the spreadsheet processor
+    (spreadsheet_processor.py:96-112): pandas read + to_string."""
+    import io
+
+    import pandas as pd
+
+    sep = "\t" if path.lower().endswith(".tsv") else ","
+    df = pd.read_csv(io.BytesIO(payload), sep=sep)
+    return df.to_string(index=False), []
+
+
 def _stub(kind: str) -> Parser:
     def parser(path: str, payload: bytes):
         raise NotImplementedError(
@@ -85,8 +222,10 @@ REGISTRY: dict[str, tuple[str, Parser]] = {
     "pdf": ("PDFProcessor", _stub("pdf")),
     "docx": ("DOCXProcessor", _stub("docx")),
     "pptx": ("PPTXProcessor", _stub("pptx")),
-    "xlsx": ("SpreadsheetProcessor", _stub("spreadsheet")),
-    "eml": ("EMLProcessor", _stub("eml")),
+    "xlsx": ("SpreadsheetProcessor", parse_xlsx),
+    "csv": ("SpreadsheetProcessor", parse_csv),
+    "tsv": ("SpreadsheetProcessor", parse_csv),
+    "eml": ("EMLProcessor", parse_eml),
     "mp4": ("MediaProcessor", _stub("media")),
     "mp3": ("MediaProcessor", _stub("media")),
 }

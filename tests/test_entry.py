@@ -49,8 +49,9 @@ def test_entry_smoke(spark):
 def test_every_oracle_key_has_query():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # pipeline-level queries are intentionally rows-only
-    assert "kg_pipeline_triples" in qs and "kg_pipeline_triples" not in os_
+    # every query is value-checked — including the end-to-end pipeline
+    # entries (recursive-CTE canonicalization oracle)
+    assert set(qs) == set(os_)
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)

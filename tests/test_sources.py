@@ -34,6 +34,109 @@ def test_mmore_jsonl_roundtrip(spark, tmp_path):
     assert back["s1"]["spans"] == rows["s1"]["spans"]
 
 
+def _make_eml() -> bytes:
+    from email.message import EmailMessage
+
+    msg = EmailMessage()
+    msg["From"] = "Alice Keller <alice@example.com>"
+    msg["To"] = "Bruno Moreau <bruno@example.com>"
+    msg["Subject"] = "Quarterly sync"
+    msg["Date"] = "Mon, 10 Mar 2025 09:30:00 +0100"
+    msg.set_content("Hello team,\nthe   merger review is attached.")
+    msg.add_attachment(b"\x89PNG\r\n\x1a\nfake", maintype="image",
+                       subtype="png", filename="chart.png")
+    return bytes(msg)
+
+
+def _make_xlsx() -> bytes:
+    """Hand-built minimal OOXML workbook (no openpyxl in the container):
+    two sheets, shared strings, ints and floats."""
+    import io
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    workbook = (
+        f'<?xml version="1.0"?><workbook {ns} {rns}><sheets>'
+        '<sheet name="Data" sheetId="1" r:id="rId1"/>'
+        '<sheet name="Notes" sheetId="2" r:id="rId2"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    shared = (
+        f'<?xml version="1.0"?><sst {ns} count="4" uniqueCount="4">'
+        "<si><t>name</t></si><si><t>qty</t></si><si><t>widget</t></si>"
+        "<si><t>gadget</t></si></sst>"
+    )
+    sheet1 = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>3</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>2.5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sheet2 = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>note</t></is></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>hello world</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet1)
+        zf.writestr("xl/worksheets/sheet2.xml", sheet2)
+    return buf.getvalue()
+
+
+def test_parse_eml():
+    """Reference semantics (eml_processor.py:44-110): header lines +
+    cleaned text/plain parts + image parts as attachment placeholders."""
+    text, refs = registry.parse_eml("/m/a.eml", _make_eml())
+    lines = text.split("\n")
+    assert lines[0] == "From: Alice Keller <EMAIL>"  # <addr> masked whole
+    assert lines[1] == "To: Bruno Moreau <EMAIL>"
+    assert lines[2] == "Subject: Quarterly sync"
+    assert lines[3].startswith("Date: Mon, 10 Mar 2025")
+    assert "the merger review is attached." in text  # whitespace collapsed
+    assert registry.ATTACHMENT_TAG in text
+    assert refs == [("image", "/m/a.eml#image0")]
+
+
+def test_parse_xlsx():
+    """Reference text shape (spreadsheet_processor.py:85-92): per sheet
+    'Sheet: {name}\\n' + df.to_string(index=False), first row = header."""
+    import pandas as pd
+
+    text, refs = registry.parse_xlsx("/m/b.xlsx", _make_xlsx())
+    assert refs == []
+    df1 = pd.DataFrame([["widget", 3], ["gadget", 2.5]], columns=["name", "qty"])
+    df2 = pd.DataFrame([["hello world"]], columns=["note"])
+    expected = (
+        "Sheet: Data\n" + df1.to_string(index=False) + "\n\n"
+        "Sheet: Notes\n" + df2.to_string(index=False) + "\n\n"
+    ).strip()
+    assert text == expected
+
+
+def test_parse_csv_tsv():
+    text, _ = registry.parse_csv("/m/c.csv", b"a,b\n1,x\n2,y\n")
+    import pandas as pd
+
+    assert text == pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_string(index=False)
+    text_t, _ = registry.parse_csv("/m/c.tsv", b"a\tb\n1\tx\n")
+    assert "x" in text_t
+
+
 def test_registry_routing_and_parse(spark, tmp_path):
     d = tmp_path / "files"
     os.makedirs(d)
@@ -42,6 +145,9 @@ def test_registry_routing_and_parse(spark, tmp_path):
     (d / "c.html").write_text('<p>hi <img src="y.jpg"> there</p>')
     (d / "d.pdf").write_bytes(b"%PDF-fake")
     (d / "e.unknown").write_text("nope")
+    (d / "f.eml").write_bytes(_make_eml())
+    (d / "g.xlsx").write_bytes(_make_xlsx())
+    (d / "h.csv").write_text("k,v\n1,a\n")
 
     parsed = registry.scan_and_parse(spark, str(d))
     rows = {os.path.basename(r["file_path"]): r for r in parsed.collect()}
@@ -53,6 +159,13 @@ def test_registry_routing_and_parse(spark, tmp_path):
     assert "img" not in rows["c.html"]["text"]
     # stubbed format fails per-file, not the job
     assert rows["d.pdf"]["error"] is not None and "NotImplementedError" in rows["d.pdf"]["error"]
+    # real stdlib parsers route end-to-end through the Arrow stage
+    assert rows["f.eml"]["error"] is None
+    assert rows["f.eml"]["text"].startswith("From: Alice Keller")
+    assert rows["f.eml"]["modalities"][0]["kind"] == "image"
+    assert rows["g.xlsx"]["error"] is None
+    assert rows["g.xlsx"]["text"].startswith("Sheet: Data")
+    assert rows["h.csv"]["error"] is None and "a" in rows["h.csv"]["text"]
 
     docs = registry.to_documents(parsed)
     got = {r["doc_id"]: r for r in docs.collect()}
