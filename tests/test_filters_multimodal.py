@@ -59,6 +59,23 @@ def test_repetition_filter(spark):
     assert {r["doc_id"] for r in kept.collect()} == {2}
 
 
+def test_repetition_filter_long_doc_linear(spark):
+    """Regression (VERDICT r01 #2): the repetition gate must stay linear-
+    ish per document — a 60k-word doc was quadratic (nested scan) before.
+    Bounded-time completion + correct verdicts on both sides of the
+    threshold."""
+    import time
+
+    hot = ("spam " * 20000 + "unique" + " filler" * 40000).strip()   # top ratio ≈ 1/3
+    cool = " ".join(f"w{i % 9973}" for i in range(60000))            # ratio ≈ 7/60000
+    df = spark.createDataFrame([(1, hot), (2, cool)], "doc_id long, text string")
+    fn = FL.filter_gopher_repetition(max_top_word_ratio=0.2)
+    t0 = time.time()
+    kept = {r["doc_id"] for r in df.filter(fn(df)).collect()}
+    assert kept == {2}
+    assert time.time() - t0 < 30  # quadratic form needed >minutes at 60k words
+
+
 def test_media_features_and_gate(spark, small_docs_df):
     feats = MM.extract_media_features(small_docs_df)
     rows = feats.collect()
