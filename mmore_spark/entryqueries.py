@@ -984,6 +984,275 @@ def _filter_kept_sql(d: Dialect) -> str:
 _sql_query("filter_kept", _filter_kept_sql)
 
 
+# ===========================================================================
+# Tagger / chunker / incremental / pagination operators, driver-gated
+# (VERDICT r01 next-round #6/#7: oracle-check the pytest-only operators)
+# ===========================================================================
+
+def _tag_modalities_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """modalities_counter (tagger/modalities.py:4-11) over the REAL derived
+    spans table — counts non-text spans natively."""
+    from .operators import taggers
+
+    docs = derive.derived_documents(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        taggers.modalities_counter("spans").cast("long").alias("modalities_count"),
+    )
+
+
+def _tag_modalities_duck() -> str:
+    """Oracle: the derivation rule's media-span count (h%4 → 0/1/1/2)."""
+    h = DUCK.h60("cast(doc_id as string)")
+    return (
+        f"SELECT doc_id, CAST(CASE cast({h} % 4 as int) "
+        f"WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END AS BIGINT) "
+        f"AS modalities_count FROM documents"
+    )
+
+
+_df_query("tag_modalities", _tag_modalities_spark, _tag_modalities_duck())
+
+
+def _file_path_expr(d: Dialect) -> str:
+    """Deterministic synthetic file path per doc (empty for h%7 == 0 to
+    exercise the 'unknown' branch)."""
+    h = d.h60("cast(doc_id as string)")
+    ext = f"CASE cast({h} % 3 as int) WHEN 0 THEN 'txt' WHEN 1 THEN 'md' ELSE 'html' END"
+    return (
+        f"CASE WHEN {h} % 7 = 0 THEN '' ELSE "
+        f"source || '/docs/doc-' || cast(doc_id as string) || '.' || {ext} END"
+    )
+
+
+def _tag_file_name_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file_namer tagger (tagger/file_namer.py:6-33) — the REAL operator
+    over a synthesized file_path column."""
+    from .operators import taggers
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(
+        f"SELECT doc_id, {_file_path_expr(SPARK)} AS file_path FROM documents"
+    )
+    return docs.select("doc_id", taggers.file_namer("file_path"))
+
+
+def _tag_file_name_duck() -> str:
+    h = DUCK.h60("cast(doc_id as string)")
+    ext = f"CASE cast({h} % 3 as int) WHEN 0 THEN 'txt' WHEN 1 THEN 'md' ELSE 'html' END"
+    return (
+        f"SELECT doc_id, CASE WHEN {h} % 7 = 0 THEN 'unknown' ELSE "
+        f"'doc-' || cast(doc_id as string) || '.' || {ext} END AS file_name "
+        f"FROM documents"
+    )
+
+
+_df_query("tag_file_name", _tag_file_name_spark, _tag_file_name_duck())
+
+
+def _tag_metafuse_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metafuse (metafuse/base.py:42-59): template-formatted metadata
+    prepended to the text; output md5 so the gate hashes compactly."""
+    from .operators import taggers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fused = docs.select(
+        "doc_id", taggers.metafuse("[%s|%s]", lang="lang", src="source")
+    )
+    return fused.select("doc_id", F.md5("text").alias("fused_md5"))
+
+
+def _tag_metafuse_duck() -> str:
+    return (
+        "SELECT doc_id, md5('[' || lang || '|' || source || ']' || chr(10) || text) "
+        "AS fused_md5 FROM documents"
+    )
+
+
+_df_query("tag_metafuse", _tag_metafuse_spark, _tag_metafuse_duck())
+
+
+_CHUNK_INTRO = "Alpha beta gamma delta."
+_CHUNK_HEADER = "| name | qty |\n| --- | --- |"
+
+
+def _chunk_table_mode_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-aware chunker, single_row mode (chunker/utils.py:289-341
+    semantics) — the REAL Arrow-stage operator (operators/chunker.py) over
+    a planted sentence + markdown table (1-3 body rows by doc hash)."""
+    from .hashing import h60
+    from .operators.chunker import chunk_stage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.pmod(h60(F.col("doc_id").cast("string")), F.lit(3)) + 1).cast("int").alias("k"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_CHUNK_INTRO + "\n" + _CHUNK_HEADER),
+            F.expr(
+                "concat_ws('', transform(sequence(0, k - 1), __tri -> "
+                "concat('\\n| item', cast(__tri as string), ' | ', doc_id, ' |')))"
+            ),
+        ).alias("text"),
+        F.expr(
+            "CAST(array() AS array<struct<kind:string,media_ref:string>>)"
+        ).alias("modalities"),
+    )
+    chunks = chunk_stage(planted, chunk_size=64, table_mode="single_row")
+    return chunks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "is_table_chunk",
+        "table_header",
+    )
+
+
+def _chunk_table_mode_duck() -> str:
+    """Oracle: the expected chunk rows in closed form — one sentence chunk
+    (the intro slice incl. the trailing newline) + one table chunk per body
+    row with the normalized header prepended."""
+    h = DUCK.h60("cast(doc_id as string)")
+    hdr = "'| name | qty |' || chr(10) || '| --- | --- |'"
+    return f"""
+WITH base AS (SELECT doc_id, cast({h} % 3 as int) + 1 AS k FROM documents),
+rows_ AS (SELECT doc_id, unnest(range(0, k)) AS i FROM base)
+SELECT doc_id, CAST(0 AS BIGINT) AS chunk_index,
+       '{_CHUNK_INTRO}' || chr(10) AS text,
+       CAST(4 AS BIGINT) AS n_tokens, false AS is_table_chunk,
+       CAST(NULL AS VARCHAR) AS table_header
+FROM base
+UNION ALL
+SELECT doc_id, CAST(i + 1 AS BIGINT),
+       {hdr} || chr(10) || '| item' || cast(i as varchar) || ' | '
+             || cast(doc_id as varchar) || ' |',
+       CAST(15 AS BIGINT), true, {hdr}
+FROM rows_
+"""
+
+
+_df_query("chunk_table_mode", _chunk_table_mode_spark, _chunk_table_mode_duck())
+
+
+def _rel_postprocess_reuse_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postprocess-stage reuse decision (incremental.py:84-107): reusable
+    iff the cache has rows, none lacks a timestamp, and input ts <=
+    min(cached ts) — the REAL operator (operators/incremental.py) over
+    frames derived from events (every 37th cache row loses its ts; every
+    5th user's input is stamped at max(ts))."""
+    from .operators.incremental import split_reusable_postprocess
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prev = ev.select(
+        F.concat(F.lit("f"), F.col("user_id").cast("string")).alias("file_path"),
+        F.when(F.col("event_id") % 37 == 0, F.lit(None)).otherwise(F.col("ts"))
+        .alias("processed_at"),
+    )
+    inp = ev.groupBy("user_id").agg(
+        F.when(F.col("user_id") % 5 == 0, F.max("ts")).otherwise(F.min("ts"))
+        .alias("processed_at")
+    ).select(
+        F.concat(F.lit("f"), F.col("user_id").cast("string")).alias("file_path"),
+        "processed_at",
+    )
+    reusable, to_process = split_reusable_postprocess(inp, prev)
+    return reusable.select("file_path", F.lit(True).alias("reusable")).unionByName(
+        to_process.select("file_path", F.lit(False).alias("reusable"))
+    )
+
+
+def _rel_postprocess_reuse_duck() -> str:
+    return """
+WITH prev AS (SELECT 'f' || cast(user_id as varchar) AS file_path,
+              CASE WHEN event_id % 37 = 0 THEN NULL ELSE ts END AS processed_at
+              FROM events),
+inp AS (SELECT 'f' || cast(user_id as varchar) AS file_path,
+        CASE WHEN user_id % 5 = 0 THEN max(ts) ELSE min(ts) END AS processed_at
+        FROM events GROUP BY user_id),
+agg AS (SELECT file_path, min(processed_at) AS mts,
+        max(CASE WHEN processed_at IS NULL THEN 1 ELSE 0 END) AS hn
+        FROM prev GROUP BY 1)
+SELECT i.file_path,
+       coalesce(a.mts IS NOT NULL AND a.hn = 0 AND i.processed_at <= a.mts, false)
+       AS reusable
+FROM inp i LEFT JOIN agg a ON i.file_path = a.file_path
+"""
+
+
+_df_query("rel_postprocess_reuse", _rel_postprocess_reuse_spark,
+          _rel_postprocess_reuse_duck())
+
+
+def _paragraph_template(n_pages: int) -> str:
+    """Deterministic paged text: n pages, 2 paragraphs each, marker
+    separators between pages (pdf_processor.py:211-256 format)."""
+    parts = []
+    for i in range(n_pages):
+        if i:
+            parts.append("\n\n{" + str(i) + "}----\n\n")
+        parts.append(f"Intro {i}.\n\nBody {i} text.")
+    return "".join(parts)
+
+
+def _kg_paragraphs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination parse (operators/pagination.py, reference-exact per
+    tests/test_pagination.py) run in the per-format Arrow parse seam over
+    hash-derived paged text; emits the paragraph_starts tuples as csv."""
+    from pyspark.sql import types as T
+
+    def run(batches):
+        import pandas as pd
+
+        from mmore_spark.hashing import h60_py
+        from mmore_spark.operators.pagination import parse_pagination
+
+        for pdf in batches:
+            out_d, out_s, out_l = [], [], []
+            for doc_id in pdf["doc_id"]:
+                n = h60_py(str(doc_id)) % 3 + 1
+                starts, clean = parse_pagination(_paragraph_template(n))
+                out_d.append(doc_id)
+                out_s.append(",".join(f"{o}:{pg}:{pa}" for o, pg, pa in starts))
+                out_l.append(len(clean))
+            yield pd.DataFrame({
+                "doc_id": out_d, "paragraph_starts": out_s, "clean_len": out_l,
+            })
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("paragraph_starts", T.StringType()),
+        T.StructField("clean_len", T.LongType()),
+    ])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(run, schema=schema)
+
+
+def _kg_paragraphs_duck() -> str:
+    """Oracle: the three possible layouts evaluated at SQL-generation time
+    by the reference-exact Python twin, embedded as literals."""
+    from .operators.pagination import parse_pagination
+
+    h = DUCK.h60("cast(doc_id as string)")
+    arms_s, arms_l = [], []
+    for n in (1, 2, 3):
+        starts, clean = parse_pagination(_paragraph_template(n))
+        csv = ",".join(f"{o}:{pg}:{pa}" for o, pg, pa in starts)
+        arms_s.append(f"WHEN {n - 1} THEN {sql_quote(csv)}")
+        arms_l.append(f"WHEN {n - 1} THEN {len(clean)}")
+    return (
+        f"SELECT doc_id, "
+        f"CASE cast({h} % 3 as int) {' '.join(arms_s)} END AS paragraph_starts, "
+        f"CAST(CASE cast({h} % 3 as int) {' '.join(arms_l)} END AS BIGINT) AS clean_len "
+        f"FROM documents"
+    )
+
+
+_df_query("kg_paragraphs", _kg_paragraphs_spark, _kg_paragraphs_duck())
+
+
 def _kg_spans_explode_sql(d: Dialect) -> str:
     """Full span-contract check at driver scale: the exploded
     (doc_id, offset, kind, text, media_ref) rows of the derived

@@ -33,7 +33,18 @@ def _marker(path: str) -> str:
     return os.path.join(path, "_MMORE_COMPLETE")
 
 
+def _recover_upsert(path: str) -> None:
+    """Heal the non-atomic window in upsert_table's two-step rename: a
+    crash between ``path → .__upsert_old`` and ``.__upsert_tmp → path``
+    leaves no table at ``path`` — restore the pre-upsert snapshot so the
+    caller simply retries the upsert (ADVICE r01)."""
+    old = path.rstrip("/") + ".__upsert_old"
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
+
+
 def is_complete(path: str) -> bool:
+    _recover_upsert(path)
     return os.path.exists(_marker(path))
 
 
@@ -86,6 +97,7 @@ def write_table(df: DataFrame, path: str, stage: str,
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
+    _recover_upsert(path)
     schema_file = os.path.join(path, "_mmore_schema.json")
     if os.path.exists(schema_file):
         from pyspark.sql.types import StructType
@@ -105,14 +117,17 @@ def upsert_table(spark: SparkSession, path: str, updates: DataFrame,
     """MERGE-style upsert: rows in ``updates`` replace existing rows with
     the same key (latest-wins when ``version_col`` is given, else updates
     always win).  With Iceberg this is ``MERGE INTO``; the parquet
-    fallback rewrites via an adjacent temp dir + atomic directory swap so
-    a crash mid-upsert never corrupts the table.
+    fallback rewrites via an adjacent temp dir + directory swap.  The
+    two-step rename is not atomic as a unit: a crash between the renames
+    leaves no table at ``path`` — readers and the next upsert heal it via
+    ``_recover_upsert`` (restore ``.__upsert_old``, retry the upsert).
 
     Reference analog: previous-results reuse keyed by file_path with max
     processed_at (/root/reference/src/mmore/process/incremental.py:24-48).
     """
     import shutil
 
+    _recover_upsert(path)
     if not os.path.isdir(path) or not os.listdir(path):
         summary = write_table(updates, path, stage="upsert-init")
         summary["inserted"] = summary["rows"]

@@ -24,11 +24,20 @@ from dataclasses import dataclass
 
 
 def rx_escape(literal: str) -> str:
-    """Escape a literal for use inside a regex, without backslashes."""
+    """Escape a literal for use inside a regex, without backslashes.
+
+    ``^`` and ``]`` cannot be char-class-escaped this way (``[^]`` /
+    ``[]]`` are invalid or engine-divergent) and ``\\`` would need the
+    very backslash this scheme avoids — fail loudly at SQL-generation
+    time rather than diverge silently at query time (ADVICE r01)."""
     out = []
     for ch in literal:
         if ch.isalnum() or ch in " _'":
             out.append(ch)
+        elif ch in "^]\\":
+            raise ValueError(
+                f"rx_escape cannot represent {ch!r} portably; "
+                f"extend the escaping scheme before using it in vocabulary")
         else:
             out.append(f"[{ch}]")
     return "".join(out)

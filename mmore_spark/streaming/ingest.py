@@ -48,6 +48,10 @@ def stream_extract_triples(spark: SparkSession, staging_dir: str,
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         counters["batches"] += 1
+        # in-batch dedup: two staged files carrying the same doc_id in one
+        # micro-batch would both pass the anti-join below (ADVICE r01) —
+        # the queue's file-id dedup applies within a drain too
+        batch_df = batch_df.dropDuplicates(["doc_id"])
         triples = batch_df.select("doc_id", F.explode("triples").alias("t")).select(
             "doc_id",
             F.col("t.subj").alias("subj"),

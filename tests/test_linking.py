@@ -68,6 +68,31 @@ def test_lsh_blocking_recall(spark, small_docs):
     assert len(missed) <= max(1, int(0.02 * len(truth))), sorted(missed)[:10]
 
 
+def test_lsh_candidates_superset_of_er_matches_full_vocab(spark):
+    """ADVICE r01: oracle parity depends on LSH candidates covering every
+    ER-matching pair.  Assert it over the FULL vocabulary (every alias of
+    every cluster), not just surfaced names — so adding alias families
+    cannot silently break the driver gate."""
+    all_names = sorted({
+        alias.upper()
+        for clusters in vocab.ALIAS_CLUSTERS.values()
+        for cluster in clusters
+        for alias in cluster
+    })
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(all_names, 2)
+        if linking.names_match_py(a, b)
+    }
+    assert truth, "vocabulary must contain alias families"
+    df = spark.createDataFrame([(n,) for n in all_names], ["name"])
+    cands = {
+        (r["name_a"], r["name_b"]) for r in linking.candidate_pairs(df).collect()
+    }
+    missed = truth - cands
+    assert not missed, sorted(missed)[:10]
+
+
 def test_connected_components_chain(spark):
     nodes = spark.createDataFrame([(n,) for n in "ABCDEFG"], ["name"])
     edges = spark.createDataFrame(

@@ -33,3 +33,20 @@ def test_stream_drain_resume_and_dedup(spark, tmp_path):
     assert final.count() == n1 + c3["rows_written"]
     # every doc_id appears from exactly one ingestion (no duplicates)
     assert final.select("doc_id", "subj", "obj").distinct().count() == final.count()
+
+
+def test_stream_dedup_within_batch(spark, tmp_path):
+    """Two staged files carrying the SAME doc_ids drained in one micro-batch
+    must still write each doc's triples once (ADVICE r01: the anti-join
+    only guards against already-written output)."""
+    staging = str(tmp_path / "staging2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    os.makedirs(staging)
+    docs = generate_documents(spark, 30, seed=7)
+    docs.write.mode("append").parquet(staging)
+    docs.write.mode("append").parquet(staging)  # duplicate staging files
+    c = stream_extract_triples(spark, staging, out, ckpt)
+    final = spark.read.parquet(out)
+    assert c["rows_written"] == final.count()
+    assert final.select("doc_id", "subj", "obj").distinct().count() == final.count()

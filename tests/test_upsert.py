@@ -32,3 +32,22 @@ def test_upsert_latest_wins_by_version(spark, tmp_path):
     got = {r["doc_id"]: r["v"] for r in tables.read_table(spark, path).collect()}
     # stale update LOSES to the newer existing row; new key inserted
     assert got == {"a": 1, "d": 4}
+
+
+def test_upsert_crash_window_recovery(spark, tmp_path):
+    """A crash between the two renames leaves no table at `path`; readers
+    and the next upsert must restore the pre-upsert snapshot (ADVICE r01)."""
+    path = str(tmp_path / "t3")
+    base = spark.createDataFrame([("a", 1)], "doc_id string, v int")
+    tables.upsert_table(spark, path, base)
+    # simulate the crash window: path renamed away, tmp not yet swapped in
+    os.rename(path, path + ".__upsert_old")
+    assert not os.path.exists(path)
+    got = {r["doc_id"]: r["v"] for r in tables.read_table(spark, path).collect()}
+    assert got == {"a": 1}  # read healed the table
+    assert os.path.exists(path) and not os.path.exists(path + ".__upsert_old")
+    # the retried upsert then applies cleanly
+    upd = spark.createDataFrame([("a", 2)], "doc_id string, v int")
+    tables.upsert_table(spark, path, upd)
+    got = {r["doc_id"]: r["v"] for r in tables.read_table(spark, path).collect()}
+    assert got == {"a": 2}
