@@ -29,6 +29,18 @@ def fake_translate(segment: str, src_lang: str) -> str:
     return " ".join(reversed(segment.split(" ")))
 
 
+def translate_text(text: str, translate: TranslateFn, lang: str) -> str:
+    """Segment-split / re-join contract (translator/base.py:87-125): each
+    inter-``<attachment>`` segment translates independently, blank segments
+    pass through, the tag count is preserved — so rebuilding spans from the
+    translated text keeps the (kind, media_ref, order) skeleton intact
+    (property-tested in tests/test_spans_property.py)."""
+    segments = text.split(ATTACHMENT_TAG)
+    return ATTACHMENT_TAG.join(
+        translate(seg, lang) if seg.strip() else seg for seg in segments
+    )
+
+
 TRANSLATED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
     T.StructField("text", T.StringType()),
@@ -55,10 +67,7 @@ def translate_stage(df: DataFrame, translate: TranslateFn = fake_translate,
                     rows.append({"doc_id": doc_id, "text": text,
                                  "original_text": text, "translated": False})
                     continue
-                segments = text.split(ATTACHMENT_TAG)
-                translated = ATTACHMENT_TAG.join(
-                    translate(seg, lang) if seg.strip() else seg for seg in segments
-                )
+                translated = translate_text(text, translate, lang)
                 rows.append({"doc_id": doc_id, "text": translated,
                              "original_text": text, "translated": True})
             yield pd.DataFrame(rows, columns=[f.name for f in TRANSLATED_SCHEMA.fields])

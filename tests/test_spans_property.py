@@ -65,6 +65,80 @@ def test_span_roundtrip_property(spans):
     assert _roundtrip_py(spans) == spans
 
 
+def _skeleton(spans):
+    """(kind, media_ref, offset) sequence — the structural span signature
+    that must survive translation (text content is allowed to change)."""
+    return [(s["kind"], s["media_ref"], s["offset"]) for s in spans]
+
+
+@settings(max_examples=200, deadline=None)
+@given(span_sequences())
+def test_translator_preserves_span_skeleton_property(spans):
+    """VERDICT r01 #8: the translator's segment-split/rejoin must preserve
+    the span structure for ARBITRARY documents — same media spans at the
+    same positions, same span count — and be the identity under an
+    identity translate function (full signature preserved)."""
+    from mmore_spark.operators.translator import fake_translate, translate_text
+
+    text = render_text_py(spans)
+    media = [(s["kind"], s["media_ref"]) for s in spans if s["kind"] != "text"]
+
+    # identity translate: byte-identical text ⇒ identical span signature
+    assert translate_text(text, lambda seg, lang: seg, "fr") == text
+
+    translated = translate_text(text, fake_translate, "fr")
+    # tag count (the positional multimodality contract) preserved
+    assert translated.count("<attachment>") == text.count("<attachment>")
+    rebuilt = _rebuild(translated, media)
+    assert _skeleton(rebuilt) == _skeleton(spans)
+    # each text span's content is the per-segment translation of the original
+    orig_texts = [s["text"] for s in spans if s["kind"] == "text"]
+    new_texts = [s["text"] for s in rebuilt if s["kind"] == "text"]
+    assert new_texts == [fake_translate(t, "fr") for t in orig_texts]
+
+
+def _rebuild(text, media):
+    segs = text.split("<attachment>")
+    out = []
+    for i, seg in enumerate(segs):
+        if seg:
+            out.append({"kind": "text", "text": seg, "media_ref": None,
+                        "offset": len(out)})
+        if i < len(media):
+            k, r = media[i]
+            out.append({"kind": k, "text": None, "media_ref": r, "offset": len(out)})
+    return out
+
+
+def test_translator_stage_preserves_skeleton_spark(spark):
+    """The Arrow-stage translator (operators/translator.py) upholds the
+    property end-to-end: rebuilt spans of the translated text share the
+    structural signature of the source spans."""
+    from pyspark.sql import functions as F
+
+    from mmore_spark.corpus.generator import generate_documents
+    from mmore_spark.functions import spans as S
+    from mmore_spark.operators.translator import translate_stage
+
+    df = generate_documents(spark, 30, seed=11).select(
+        "doc_id", "spans",
+        S.render_text("spans").alias("text"),
+        F.lit("fr").alias("lang"),
+    )
+    translated = translate_stage(df.select("doc_id", "text", "lang"))
+    joined = df.join(translated.select("doc_id", F.col("text").alias("t_text")),
+                     "doc_id")
+    out = joined.select(
+        "spans",
+        S.spans_from_text(F.col("t_text"), S.media_refs("spans")).alias("rebuilt"),
+    ).collect()
+    assert out
+    for r in out:
+        orig = [(s["kind"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        new = [(s["kind"], s["media_ref"], s["offset"]) for s in r["rebuilt"]]
+        assert new == orig
+
+
 def test_python_twin_matches_spark(spark):
     """The python round-trip twin equals the native Spark expressions on a
     deterministic sample (so the property transfers)."""
