@@ -9,10 +9,12 @@ Spark mapping: files arrive as a ``binaryFile`` scan (path, content);
 routing is a NATIVE derived ``format`` column (extension → processor
 name — the whole dispatch table is one ``element_at(map, ext)``
 expression); each format's parser is an Arrow-batched function applied
-per format partition.  Heavy parsers (pdf/docx/media) need libraries not
-present in this container — they are registered as stubs that raise
-NotImplementedError, while ``txt``/``md``/``html-lite`` parse for real, so
-the routing plan and the Arrow plumbing are fully exercised.
+per format partition.  txt/md/html parse for real; eml uses stdlib
+``email``; xlsx/docx/pptx are stdlib zipfile+ElementTree OOXML parsers
+matching the reference's output shapes; csv/tsv go through pandas.  Only
+pdf and media decoding need libraries absent from this container — those
+are registered as stubs that raise NotImplementedError per file, so the
+routing plan and the Arrow plumbing stay fully exercised.
 
 The parsed output is the mmore text+modalities contract: text with
 ``<attachment>`` placeholders + ordered media refs → spans.
@@ -189,6 +191,125 @@ def parse_xlsx(path: str, payload: bytes) -> tuple[str, list]:
     return text.strip(), []
 
 
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A_NS = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_P_NS = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+
+
+def _rels(zf, rels_path: str) -> dict[str, str]:
+    import xml.etree.ElementTree as ET
+
+    if rels_path not in zf.namelist():
+        return {}
+    return {
+        rel.get("Id"): rel.get("Target")
+        for rel in ET.fromstring(zf.read(rels_path)).iter(f"{_PKG_RNS}Relationship")
+    }
+
+
+def parse_docx(path: str, payload: bytes) -> tuple[str, list]:
+    """DOCX processor (docx_processor.py:50-133) without mammoth: zipfile +
+    ElementTree over word/document.xml — paragraph runs concatenated in
+    document order, Heading styles rendered as markdown headings (the
+    reference's html→markdown path), inline images replaced by
+    ``<attachment>`` with refs resolved through the relationship part."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    rels = _rels(zf, "word/_rels/document.xml.rels")
+    root = ET.fromstring(zf.read("word/document.xml"))
+    paras: list[str] = []
+    refs: list[tuple[str, str]] = []
+    for p in root.iter(f"{_W_NS}p"):
+        parts: list[str] = []
+        style = p.find(f"{_W_NS}pPr/{_W_NS}pStyle")
+        for el in p.iter():
+            if el.tag == f"{_W_NS}t" and el.text:
+                parts.append(el.text)
+            elif el.tag == f"{_A_NS}blip":
+                rid = el.get(f"{_XLSX_RNS}embed")
+                target = rels.get(rid, "")
+                refs.append(("image", f"{path}#{target.rsplit('/', 1)[-1]}"))
+                parts.append(ATTACHMENT_TAG)
+        text = "".join(parts).strip()
+        if not text:
+            continue
+        sval = style.get(f"{_W_NS}val", "") if style is not None else ""
+        m = re.fullmatch(r"Heading([1-6])", sval)
+        if m:
+            text = "#" * int(m.group(1)) + " " + text
+        paras.append(text)
+    return "\n\n".join(paras), refs
+
+
+def _pptx_shape_top(shape) -> int:
+    off = shape.find(f".//{_A_NS}off")
+    if off is not None and off.get("y", "").lstrip("-").isdigit():
+        return int(off.get("y"))
+    return 1 << 62  # no explicit position → sort last (deterministic)
+
+
+def parse_pptx(path: str, payload: bytes) -> tuple[str, list]:
+    """PPTX processor (pptx_processor.py:45-116) without python-pptx:
+    slides in presentation order, shapes sorted by vertical position,
+    text frames cleaned, pictures → ``<attachment>`` placeholders, then
+    notes-slide paragraphs."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    pres_rels = _rels(zf, "ppt/_rels/presentation.xml.rels")
+    pres = ET.fromstring(zf.read("ppt/presentation.xml"))
+    all_text: list[str] = []
+    refs: list[tuple[str, str]] = []
+    for sld in pres.iter(f"{_P_NS}sldId"):
+        target = pres_rels.get(sld.get(f"{_XLSX_RNS}id"), "")
+        slide_path = "ppt/" + target.lstrip("/").removeprefix("ppt/")
+        slide_rels = _rels(
+            zf, slide_path.rsplit("/", 1)[0] + "/_rels/"
+            + slide_path.rsplit("/", 1)[-1] + ".rels")
+        slide = ET.fromstring(zf.read(slide_path))
+        tree = slide.find(f"{_P_NS}cSld/{_P_NS}spTree")
+        shapes = []
+        for shape in list(tree) if tree is not None else []:
+            if shape.tag in (f"{_P_NS}sp", f"{_P_NS}pic"):
+                shapes.append((_pptx_shape_top(shape), len(shapes), shape))
+        for _top, _i, shape in sorted(shapes, key=lambda s: (s[0], s[1])):
+            if shape.tag == f"{_P_NS}sp":
+                body = shape.find(f"{_P_NS}txBody")
+                if body is None:
+                    continue
+                lines = []
+                for para in body.iter(f"{_A_NS}p"):
+                    lines.append("".join(
+                        t.text or "" for t in para.iter(f"{_A_NS}t")))
+                cleaned = _clean_py("\n".join(lines))
+                if cleaned.strip():
+                    all_text.append(cleaned)
+            else:  # picture
+                blip = shape.find(f".//{_A_NS}blip")
+                rid = blip.get(f"{_XLSX_RNS}embed") if blip is not None else None
+                target = slide_rels.get(rid, "")
+                refs.append(("image", f"{path}#{target.rsplit('/', 1)[-1]}"))
+                all_text.append(ATTACHMENT_TAG)
+        # notes slide paragraphs (pptx_processor.py:103-109)
+        notes_rel = next(
+            (t for t in slide_rels.values() if "notesSlide" in t), None)
+        if notes_rel:
+            notes_path = "ppt/" + notes_rel.lstrip("/").replace("../", "")
+            if notes_path in zf.namelist():
+                notes = ET.fromstring(zf.read(notes_path))
+                for para in notes.iter(f"{_A_NS}p"):
+                    cleaned = _clean_py(
+                        "".join(t.text or "" for t in para.iter(f"{_A_NS}t")))
+                    if cleaned.strip():
+                        all_text.append(cleaned)
+    return "\n".join(all_text), refs
+
+
 def parse_csv(path: str, payload: bytes) -> tuple[str, list]:
     """CSV/TSV branch of the spreadsheet processor
     (spreadsheet_processor.py:96-112): pandas read + to_string."""
@@ -199,6 +320,136 @@ def parse_csv(path: str, payload: bytes) -> tuple[str, list]:
     sep = "\t" if path.lower().endswith(".tsv") else ","
     df = pd.read_csv(io.BytesIO(payload), sep=sep)
     return df.to_string(index=False), []
+
+
+def _pdf_literal(data: bytes, i: int) -> tuple[str, int]:
+    """Decode a PDF literal string starting at ``data[i] == '('``; returns
+    (text, index past the closing paren).  Handles balanced nesting and
+    the standard backslash escapes incl. octal (PDF 32000-1 §7.3.4.2)."""
+    assert data[i:i + 1] == b"("
+    out = bytearray()
+    depth = 1
+    i += 1
+    esc = {"n": b"\n", "r": b"\r", "t": b"\t", "b": b"\b", "f": b"\f",
+           "(": b"(", ")": b")", "\\": b"\\"}
+    while i < len(data) and depth:
+        c = data[i:i + 1]
+        if c == b"\\":
+            nxt = data[i + 1:i + 2].decode("latin-1", "replace")
+            if nxt in esc:
+                out += esc[nxt]
+                i += 2
+            elif nxt.isdigit():
+                oct_s = ""
+                j = i + 1
+                while j < len(data) and len(oct_s) < 3 and data[j:j + 1].isdigit():
+                    oct_s += data[j:j + 1].decode()
+                    j += 1
+                out.append(int(oct_s, 8) & 0xFF)
+                i = j
+            else:  # line continuation / unknown: drop the backslash
+                i += 2
+        elif c == b"(":
+            depth += 1
+            out += c
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out += c
+            i += 1
+        else:
+            out += c
+            i += 1
+    return out.decode("latin-1", "replace"), i
+
+
+_PDF_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _pdf_text_from_content(content: bytes) -> str:
+    """Extract shown text from one content stream: literal/hex strings fed
+    to Tj / ' / \" / TJ, with Td/TD/T*/'/\" treated as line breaks."""
+    out: list[str] = []
+    pending: list[str] = []
+
+    def flush(newline: bool) -> None:
+        if pending:
+            out.append("".join(pending))
+            pending.clear()
+        if newline and out and not out[-1].endswith("\n"):
+            out.append("\n")
+
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i:i + 1]
+        if c == b"(":
+            s, i = _pdf_literal(content, i)
+            pending.append(s)
+        elif c == b"<" and content[i + 1:i + 2] != b"<":
+            j = content.find(b">", i)
+            if j == -1:
+                break
+            hx = content[i + 1:j].translate(None, b" \r\n\t")
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                pending.append(bytes.fromhex(hx.decode()).decode("latin-1", "replace"))
+            except ValueError:
+                pass
+            i = j + 1
+        elif c.isalpha() or c in (b"'", b'"'):
+            m = _PDF_OP_RE.match(content, i)
+            op = m.group() if m else b""
+            if op in (b"Td", b"TD", b"T*", b"'", b'"'):
+                flush(newline=True)
+            elif op in (b"Tj", b"TJ"):
+                flush(newline=False)
+            else:
+                pending.clear()  # strings not followed by a show op
+            i = m.end() if m else i + 1
+        else:
+            i += 1
+    flush(newline=False)
+    return "".join(out)
+
+
+def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
+    """Minimal PDF text extraction with stdlib only (the reference's
+    pdf_processor.py:190-326 uses pymupdf/marker — absent here): decode
+    FlateDecode/uncompressed content streams via zlib and replay the text
+    show operators.  Covers simply-encoded text PDFs; CID/encrypted/other
+    filters raise NotImplementedError per file (isolated by the Arrow
+    stage's error column)."""
+    import zlib
+
+    texts: list[str] = []
+    for m in re.finditer(rb"stream\r?\n", payload):
+        start = m.end()
+        end = payload.find(b"endstream", start)
+        if end == -1:
+            continue
+        raw = payload[start:end].rstrip(b"\r\n")
+        dict_start = payload.rfind(b"<<", 0, m.start())
+        head = payload[dict_start:m.start()] if dict_start != -1 else b""
+        if b"/FlateDecode" in head:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        elif b"/Filter" in head:
+            continue  # unsupported filter (DCT, LZW, ...)
+        if b"BT" not in raw:
+            continue
+        t = _pdf_text_from_content(raw).strip()
+        if t:
+            texts.append(t)
+    text = "\n".join(texts)
+    if not text.strip():
+        raise NotImplementedError(
+            "pdf: no extractable text (image-only, CID-encoded or "
+            "unsupported filters; reference path needs pymupdf/marker)")
+    return re.sub(r"[ \t]+", " ", text).strip(), []
 
 
 def _stub(kind: str) -> Parser:
@@ -219,9 +470,9 @@ REGISTRY: dict[str, tuple[str, Parser]] = {
     "md": ("MarkdownProcessor", parse_md),
     "html": ("HTMLProcessor", parse_html),
     "htm": ("HTMLProcessor", parse_html),
-    "pdf": ("PDFProcessor", _stub("pdf")),
-    "docx": ("DOCXProcessor", _stub("docx")),
-    "pptx": ("PPTXProcessor", _stub("pptx")),
+    "pdf": ("PDFProcessor", parse_pdf),
+    "docx": ("DOCXProcessor", parse_docx),
+    "pptx": ("PPTXProcessor", parse_pptx),
     "xlsx": ("SpreadsheetProcessor", parse_xlsx),
     "csv": ("SpreadsheetProcessor", parse_csv),
     "tsv": ("SpreadsheetProcessor", parse_csv),

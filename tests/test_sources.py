@@ -98,6 +98,150 @@ def _make_xlsx() -> bytes:
     return buf.getvalue()
 
 
+_WNS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+_ANS = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+_PNS = 'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+_RNS = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+_REL_HEAD = ('<?xml version="1.0"?><Relationships '
+             'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">')
+
+
+def _zip_parts(parts: dict) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, content in parts.items():
+            zf.writestr(name, content)
+    return buf.getvalue()
+
+
+def _make_docx() -> bytes:
+    document = (
+        f'<?xml version="1.0"?><w:document {_WNS} {_ANS} {_RNS}><w:body>'
+        '<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+        "<w:r><w:t>Quarterly Report</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>Revenue grew </w:t></w:r><w:r><w:t>steadily.</w:t></w:r>"
+        '<w:r><a:blip r:embed="rId5"/></w:r></w:p>'
+        "<w:p><w:r><w:t>  </w:t></w:r></w:p>"  # blank paragraph dropped
+        "</w:body></w:document>"
+    )
+    rels = (_REL_HEAD + '<Relationship Id="rId5" Type="x" '
+            'Target="media/image1.png"/></Relationships>')
+    return _zip_parts({"word/document.xml": document,
+                       "word/_rels/document.xml.rels": rels})
+
+
+def _make_pptx() -> bytes:
+    pres = (
+        f'<?xml version="1.0"?><p:presentation {_PNS} {_RNS}><p:sldIdLst>'
+        '<p:sldId id="256" r:id="rId1"/><p:sldId id="257" r:id="rId2"/>'
+        "</p:sldIdLst></p:presentation>"
+    )
+    pres_rels = (_REL_HEAD
+                 + '<Relationship Id="rId1" Type="x" Target="slides/slide1.xml"/>'
+                 + '<Relationship Id="rId2" Type="x" Target="slides/slide2.xml"/>'
+                 "</Relationships>")
+
+    def sp(text, y):
+        return (f'<p:sp><p:spPr><a:xfrm><a:off x="0" y="{y}"/></a:xfrm></p:spPr>'
+                f"<p:txBody><a:p><a:r><a:t>{text}</a:t></a:r></a:p></p:txBody></p:sp>")
+
+    slide1 = (
+        f'<?xml version="1.0"?><p:sld {_PNS} {_ANS} {_RNS}><p:cSld><p:spTree>'
+        + sp("Below title", 500)
+        + sp("Slide One Title", 100)
+        + '<p:pic><p:spPr><a:xfrm><a:off x="0" y="300"/></a:xfrm></p:spPr>'
+          '<p:blipFill><a:blip r:embed="rId9"/></p:blipFill></p:pic>'
+        + "</p:spTree></p:cSld></p:sld>"
+    )
+    slide1_rels = (_REL_HEAD
+                   + '<Relationship Id="rId9" Type="x" Target="../media/pic1.png"/>'
+                   + '<Relationship Id="rId8" Type="x" '
+                     'Target="../notesSlides/notesSlide1.xml"/></Relationships>')
+    notes1 = (
+        f'<?xml version="1.0"?><p:notes {_PNS} {_ANS}><p:cSld><p:spTree><p:sp>'
+        "<p:txBody><a:p><a:r><a:t>Speaker note here.</a:t></a:r></a:p></p:txBody>"
+        "</p:sp></p:spTree></p:cSld></p:notes>"
+    )
+    slide2 = (
+        f'<?xml version="1.0"?><p:sld {_PNS} {_ANS} {_RNS}><p:cSld><p:spTree>'
+        + sp("Second slide text", 100) + "</p:spTree></p:cSld></p:sld>"
+    )
+    return _zip_parts({
+        "ppt/presentation.xml": pres,
+        "ppt/_rels/presentation.xml.rels": pres_rels,
+        "ppt/slides/slide1.xml": slide1,
+        "ppt/slides/_rels/slide1.xml.rels": slide1_rels,
+        "ppt/notesSlides/notesSlide1.xml": notes1,
+        "ppt/slides/slide2.xml": slide2,
+    })
+
+
+def _make_pdf() -> bytes:
+    """Two-page hand-built PDF: page 1 uncompressed, page 2 FlateDecode,
+    exercising Tj, TJ arrays, escapes, nested parens and hex strings."""
+    import zlib
+
+    page1 = (b"BT /F1 12 Tf 72 720 Td (Hello \\(nested (parens)\\) world.) Tj "
+             b"0 -14 Td [(Kerned) -120 ( pairs \\100)] TJ ET")
+    page2_raw = b"BT 72 720 Td (Second page.) Tj 0 -14 Td <48657821> Tj ET"
+    page2 = zlib.compress(page2_raw)
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Length " + str(len(page1)).encode() + b" >>\nstream\n"
+        + page1 + b"\nendstream\nendobj\n"
+        b"2 0 obj << /Length " + str(len(page2)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + page2 + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    return body
+
+
+def test_parse_pdf():
+    text, refs = registry.parse_pdf("/m/p.pdf", _make_pdf())
+    assert refs == []
+    lines = text.split("\n")
+    assert lines[0] == "Hello (nested (parens)) world."
+    assert lines[1] == "Kerned pairs @"      # \100 octal = '@'; TJ concat
+    assert lines[2] == "Second page."        # FlateDecode path
+    assert lines[3] == "Hex!"                # hex string show
+
+
+def test_parse_pdf_unsupported_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        registry.parse_pdf("/m/x.pdf", b"%PDF-fake no streams")
+
+
+def test_parse_docx():
+    """Reference semantics (docx_processor.py:50-133): paragraphs in
+    document order, heading styles as markdown, inline images →
+    attachment placeholders with resolved refs."""
+    text, refs = registry.parse_docx("/m/r.docx", _make_docx())
+    paras = text.split("\n\n")
+    assert paras[0] == "# Quarterly Report"
+    assert paras[1] == "Revenue grew steadily." + registry.ATTACHMENT_TAG
+    assert len(paras) == 2  # blank paragraph dropped
+    assert refs == [("image", "/m/r.docx#image1.png")]
+
+
+def test_parse_pptx():
+    """Reference semantics (pptx_processor.py:45-116): slides in
+    presentation order, shapes sorted by vertical position, pictures →
+    placeholders, notes paragraphs appended after the slide's shapes."""
+    text, refs = registry.parse_pptx("/m/d.pptx", _make_pptx())
+    lines = text.split("\n")
+    assert lines[0] == "Slide One Title"           # y=100 sorts first
+    assert lines[1] == registry.ATTACHMENT_TAG     # picture at y=300
+    assert lines[2] == "Below title"               # y=500
+    assert lines[3] == "Speaker note here."        # notes after shapes
+    assert lines[4] == "Second slide text"
+    assert refs == [("image", "/m/d.pptx#pic1.png")]
+
+
 def test_parse_eml():
     """Reference semantics (eml_processor.py:44-110): header lines +
     cleaned text/plain parts + image parts as attachment placeholders."""
@@ -148,6 +292,8 @@ def test_registry_routing_and_parse(spark, tmp_path):
     (d / "f.eml").write_bytes(_make_eml())
     (d / "g.xlsx").write_bytes(_make_xlsx())
     (d / "h.csv").write_text("k,v\n1,a\n")
+    (d / "i.docx").write_bytes(_make_docx())
+    (d / "j.pptx").write_bytes(_make_pptx())
 
     parsed = registry.scan_and_parse(spark, str(d))
     rows = {os.path.basename(r["file_path"]): r for r in parsed.collect()}
@@ -166,6 +312,10 @@ def test_registry_routing_and_parse(spark, tmp_path):
     assert rows["g.xlsx"]["error"] is None
     assert rows["g.xlsx"]["text"].startswith("Sheet: Data")
     assert rows["h.csv"]["error"] is None and "a" in rows["h.csv"]["text"]
+    assert rows["i.docx"]["error"] is None
+    assert rows["i.docx"]["text"].startswith("# Quarterly Report")
+    assert rows["j.pptx"]["error"] is None
+    assert rows["j.pptx"]["modalities"][0]["kind"] == "image"
 
     docs = registry.to_documents(parsed)
     got = {r["doc_id"]: r for r in docs.collect()}
