@@ -682,6 +682,140 @@ def _sim_ann_pairs_sql(d: Dialect) -> str:
 
 _sql_query("sim_ann_lsh_pairs", _sim_ann_pairs_sql)
 
+_EMB_TABLES = 4   # OR-amplification: L independent hash tables …
+_EMB_PLANES = 3   # … of k hyperplanes each; P(candidate) = 1-(1-c^k)^L
+
+
+def _emb_planes() -> list[list[int]]:
+    from .hashing import h60_py
+
+    return [
+        [1 if h60_py(f"edp{p}:{i}") % 2 == 0 else -1 for i in range(_ANN_DIM)]
+        for p in range(_EMB_TABLES * _EMB_PLANES)
+    ]
+
+
+def _emb_bucket_expr(d: Dialect, table: int) -> str:
+    """Bucket id for one hash table: sign bits of its k projections."""
+    planes = _emb_planes()
+    bits = []
+    for j in range(_EMB_PLANES):
+        p = table * _EMB_PLANES + j
+        lits = ", ".join(str(v) for v in planes[p])
+        if d.is_spark:
+            dot = (
+                f"aggregate(zip_with(embedding, array({lits}), "
+                f"(__ee{p}, __ew{p}) -> cast(__ee{p} as double) * __ew{p}), "
+                f"cast(0.0 as double), (__ea{p}, __eb{p}) -> __ea{p} + __eb{p})"
+            )
+        else:
+            dot = (
+                f"list_dot_product(list_transform(embedding, __ee{p} -> "
+                f"CAST(__ee{p} AS DOUBLE)), [{lits}])"
+            )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _dedup_embedding_pairs_sql(d: Dialect, threshold: float = 0.45) -> str:
+    """Embedding-cosine near-dup candidate pairs: OR-amplified hyperplane
+    LSH — L=4 tables of k=3 planes; a pair is a candidate if it collides
+    in ANY table (join key = (table, bucket), the 100 TB shuffle key) —
+    verified by exact cosine ≥ threshold, rounded to 4dp so both engines
+    agree.  The Spark dialect computes all table buckets in ONE scan and
+    explodes; the DuckDB oracle uses UNION arms."""
+    if d.is_spark:
+        structs = ", ".join(
+            f"named_struct('tbl', {t}, 'bh', {_emb_bucket_expr(d, t)})"
+            for t in range(_EMB_TABLES)
+        )
+        buckets = (
+            f"SELECT vec_id, tb.tbl AS tbl, tb.bh AS bh FROM embeddings "
+            f"LATERAL VIEW explode(array({structs})) x AS tb"
+        )
+        dcast = "transform(%s, __dc -> cast(__dc as double))"
+        dot = ("aggregate(zip_with(ea, eb, (__dx, __dy) -> __dx * __dy), "
+               "cast(0.0 as double), (__da, __db) -> __da + __db)")
+        norm = lambda side: (  # noqa: E731
+            f"sqrt(aggregate({side}, cast(0.0 as double), "
+            f"(__dn{side[-1]}, __dv{side[-1]}) -> "
+            f"__dn{side[-1]} + __dv{side[-1]} * __dv{side[-1]}))")
+    else:
+        buckets = "\nUNION ALL\n".join(
+            f"SELECT vec_id, {t} AS tbl, {_emb_bucket_expr(d, t)} AS bh "
+            f"FROM embeddings"
+            for t in range(_EMB_TABLES)
+        )
+        dcast = "list_transform(%s, __dc -> CAST(__dc AS DOUBLE))"
+        dot = "list_dot_product(ea, eb)"
+        norm = lambda side: f"sqrt(list_dot_product({side}, {side}))"  # noqa: E731
+    ea = dcast % "a.embedding"
+    eb = dcast % "b.embedding"
+    sim = f"round({dot} / ({norm('ea')} * {norm('eb')}), 4)"
+    return (
+        f"WITH bk AS ({buckets}),\n"
+        f"pairs AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb "
+        f"FROM bk x JOIN bk y "
+        f"ON x.tbl = y.tbl AND x.bh = y.bh AND x.vec_id < y.vec_id),\n"
+        f"j AS (SELECT va, vb, {ea} AS ea, {eb} AS eb FROM pairs "
+        f"JOIN embeddings a ON pairs.va = a.vec_id "
+        f"JOIN embeddings b ON pairs.vb = b.vec_id)\n"
+        f"SELECT va, vb FROM j WHERE {sim} >= {threshold}"
+    )
+
+
+def _dedup_embedding_groups_duck() -> str:
+    """Oracle: transitive closure of the near-dup pairs via a recursive
+    CTE → groups with an elected keeper (min vec_id)."""
+    pairs = _dedup_embedding_pairs_sql(DUCK)
+    return f"""
+WITH RECURSIVE
+p AS ({pairs}),
+nodes AS (SELECT va AS v FROM p UNION SELECT vb FROM p),
+sym AS (SELECT va AS a, vb AS b FROM p UNION ALL SELECT vb, va FROM p),
+reach(src, dst) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT CAST(min(dst) AS BIGINT) AS keeper_vec_id,
+       string_agg(DISTINCT CAST(src AS VARCHAR), ',' ORDER BY CAST(src AS VARCHAR))
+         AS members,
+       CAST(count(DISTINCT src) AS BIGINT) AS group_size
+FROM (SELECT src, min(dst) OVER (PARTITION BY src) AS comp, dst FROM reach) t
+GROUP BY comp
+"""
+
+
+def _dedup_embedding_groups_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side: the REAL operators — hyperplane-LSH bucket self-join +
+    exact-cosine verify + connected components (operators/linking.py)."""
+    from .operators import linking
+
+    _register_views(spark, sf_dir)
+    pairs = spark.sql(_dedup_embedding_pairs_sql(SPARK))
+    edges = pairs.select(
+        F.col("va").cast("string").alias("name_a"),
+        F.col("vb").cast("string").alias("name_b"),
+    )
+    nodes = edges.select(F.col("name_a").alias("name")).unionByName(
+        edges.select(F.col("name_b").alias("name"))).distinct()
+    comps = linking.connected_components(nodes, edges)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.min(F.col("name").cast("long")).alias("keeper_vec_id"),
+            F.concat_ws(",", F.sort_array(F.collect_set("name"))).alias("members"),
+            F.count_distinct("name").cast("long").alias("group_size"),
+        )
+        .drop("component")
+    )
+
+
+_df_query("dedup_embedding_groups", _dedup_embedding_groups_spark,
+          _dedup_embedding_groups_duck())
+
+
 _SIMHASH_BITS = 16
 
 
