@@ -117,7 +117,9 @@ def run_scaling(sf_dir: str, cpus_high: int) -> dict:
             capture_output=True, text=True,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
                  "SPARK_GRAFT_PIPE_CORPUS": corpus},
-            timeout=3000,
+            # failsafe only — scales with the corpus so multi-million-doc
+            # legs (~500-800 docs/s at N cores) are not killed mid-run
+            timeout=max(3000, SCALE_DOCS // 50),
         )
         line = out.stdout.strip().splitlines()[-1]
         results[c] = json.loads(line)
