@@ -26,6 +26,22 @@ def test_taggers_one_projection(spark):
     assert r1["file_name"] == "unknown"
 
 
+def test_lang_and_clean_seams_fall_back(spark):
+    """Exact-parity seams (langdetect / cleantext) degrade to the native
+    twins when the libraries are absent — same column contract either way
+    (this container has neither lib, so the fallback path is what runs)."""
+    df = spark.createDataFrame(
+        [("the cat sat on a mat with the dog and a bird",),
+         ("lorem ipsum dolor sit amet consectetur adipiscing elit",)],
+        "text string",
+    )
+    out = {r["text"][:9]: r for r in
+           df.select("text", TG.lang_detector(), TG.clean_text_exact()).collect()}
+    assert out["the cat s"]["lang_guess"] == "en"
+    assert out["lorem ips"]["lang_guess"] == "unknown"
+    assert out["lorem ips"]["text_clean"].startswith("lorem")
+
+
 def test_metafuse_and_clean(spark):
     df = spark.createDataFrame(
         [("Title: report", "body  text\x01 with  mail a@b.com and https://x.y/z", "report")],
