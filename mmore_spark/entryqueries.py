@@ -1387,6 +1387,81 @@ def _kg_paragraphs_duck() -> str:
 _df_query("kg_paragraphs", _kg_paragraphs_spark, _kg_paragraphs_duck())
 
 
+def _filter_unigram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL unigram-logprob operator (operators/filters.py) with a kept
+    verdict at -3.2 (corpus-derived model; scaled-integer score so both
+    engines hash-agree)."""
+    from .operators.filters import unigram_logprob_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = unigram_logprob_scores(docs)
+    return s.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.col("avg_logprob") * 1000000, 0).cast("long").alias("avg_logprob_e6"),
+        (F.round(F.col("avg_logprob"), 6) >= -1.49).alias("kept"),
+    )
+
+
+def _filter_unigram_duck() -> str:
+    return """
+WITH w AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+           FROM documents),
+ww AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+freq AS (SELECT w, count(*) AS n FROM ww GROUP BY w),
+tot AS (SELECT sum(n) AS tot FROM freq)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(round(avg(log10(n * 1.0 / tot)) * 1000000, 0) AS BIGINT)
+         AS avg_logprob_e6,
+       (round(avg(log10(n * 1.0 / tot)), 6) >= -1.49) AS kept
+FROM ww JOIN freq USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+_df_query("filter_unigram_logprob", _filter_unigram_spark, _filter_unigram_duck())
+
+
+def _kg_triangles_sql(d: Dialect) -> str:
+    """Graph analytic: entity triangles over the undirected co-mention
+    edge set (distinct unordered triple-extraction pairs) — classic
+    3-cycle join with a < b < c canonical orientation."""
+    inner = _kg_triples_sql(d)
+    return (
+        f"WITH t AS (SELECT * FROM (\n{inner}\n) __t),\n"
+        "e AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b "
+        "FROM t WHERE subj <> obj)\n"
+        "SELECT e1.a AS ent_a, e1.b AS ent_b, e2.b AS ent_c "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 "
+        "ON e3.a = e1.a AND e3.b = e2.b"
+    )
+
+
+def _kg_triangles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan: one extraction scan → distinct oriented edge set →
+    two self-joins (the edge set is entity-dimension-scale; at corpus
+    scale the join keys are entity names — skew handled by the same
+    salting seam as the global merges if needed)."""
+    t = _kg_triples_spark(spark, sf_dir)
+    e = (
+        t.filter(F.col("subj") != F.col("obj"))
+        .select(F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b"))
+        .distinct()
+        # the edge set feeds two self-joins — materialize once
+        .localCheckpoint()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("ent_a"), F.col("e1.b").alias("ent_b"),
+                F.col("e2.b").alias("ent_c"))
+    )
+
+
+_df_query("kg_triangles", _kg_triangles_spark, _kg_triangles_sql(DUCK))
+
+
 def _kg_spans_explode_sql(d: Dialect) -> str:
     """Full span-contract check at driver scale: the exploded
     (doc_id, offset, kind, text, media_ref) rows of the derived

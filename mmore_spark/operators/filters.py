@@ -113,6 +113,28 @@ def filter_language(lang_col: str = "lang",
     return lambda df: F.col(lang_col).isin(*allowed)
 
 
+def unigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """datatrove unigram-logprob quality signal
+    (filter/datatrove_wrapper.py:27-40 family) with the model derived from
+    the corpus itself: p(w) = corpus frequency / total words, doc score =
+    mean over words of log10 p(w).  No model file, no Python: one explode,
+    one groupBy, a broadcast 1-row total, one join, one per-doc agg —
+    every step shuffles on uniform keys and stays JVM-side.
+
+    Returns (doc_id, n_words, avg_logprob); thresholding is the caller's
+    gate (low scores = rare-word gibberish, high = stopword soup).
+    """
+    words = df.select("doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("w")) \
+        .filter(F.length("w") > 0)
+    freq = words.groupBy("w").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("tot"))
+    scored = words.join(freq, "w").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.avg(F.log10(F.col("n") / F.col("tot"))).alias("avg_logprob"),
+    )
+
+
 def apply_filters(df: DataFrame, filters: dict[str, FilterFn],
                   rejected_path: str | None = None) -> DataFrame:
     """Evaluate all filters in one projection; write rejected rows (with

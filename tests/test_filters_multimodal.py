@@ -76,6 +76,24 @@ def test_repetition_filter_long_doc_linear(spark):
     assert time.time() - t0 < 30  # quadratic form needed >minutes at 60k words
 
 
+def test_unigram_logprob_scores(spark):
+    """Corpus-derived unigram model: rare-word docs score lower than
+    common-word docs; scores are exact per hand computation."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "common common common"), (2, "common rare")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in FL.unigram_logprob_scores(df).collect()}
+    # corpus: common×4, rare×1, total 5
+    p_common, p_rare = 4 / 5, 1 / 5
+    assert got[1]["n_words"] == 3
+    assert abs(got[1]["avg_logprob"] - math.log10(p_common)) < 1e-9
+    expect2 = (math.log10(p_common) + math.log10(p_rare)) / 2
+    assert abs(got[2]["avg_logprob"] - expect2) < 1e-9
+    assert got[2]["avg_logprob"] < got[1]["avg_logprob"]
+
+
 def test_media_features_and_gate(spark, small_docs_df):
     feats = MM.extract_media_features(small_docs_df)
     rows = feats.collect()
