@@ -225,10 +225,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         one broadcast-able map replaces ~4 Spark jobs per iteration.
       * ``distributed`` — min-label propagation loop with per-iteration
         localCheckpoint (SURVEY.md §4 (c)); bounded by graph diameter.
+      * ``twophase`` — alternating large-star/small-star rounds (Kiveris
+        et al., "Connected Components in MapReduce and Beyond"):
+        converges in O(log n) rounds regardless of diameter — the shape
+        that survives chain-like graphs a label-propagation loop cannot.
       * ``auto`` (default) — driver path when the edge count is under
-        DRIVER_CC_MAX_EDGES, else distributed.
+        DRIVER_CC_MAX_EDGES, else twophase.
 
-    Both produce identical labels (min name-hash per component) — asserted
+    All produce identical labels (min name-hash per component) — asserted
     by tests/test_linking.py.
     """
     if strategy == "auto":
@@ -239,11 +243,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         probe = edges.select("name_a", "name_b").limit(DRIVER_CC_MAX_EDGES + 1).collect()
         if len(probe) <= DRIVER_CC_MAX_EDGES:
             return _connected_components_driver(nodes, probe)
-        return _connected_components_distributed(nodes, edges, max_iterations)
+        return _connected_components_twophase(nodes, edges, max_iterations)
     if strategy == "driver":
         # guard-ok: dimension-scale collect — distinct-name edges, not rows
         return _connected_components_driver(
             nodes, edges.select("name_a", "name_b").collect())
+    if strategy == "twophase":
+        return _connected_components_twophase(nodes, edges, max_iterations)
     return _connected_components_distributed(nodes, edges, max_iterations)
 
 
@@ -315,6 +321,75 @@ def _connected_components_distributed(nodes: DataFrame, edges: DataFrame,
         if n_changed == 0:
             break
     return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's minimum neighborhood
+    element (Kiveris et al. §3): (v, m) for v ∈ N(u), v > u,
+    m = min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect u and all its smaller neighbors to the minimum of the
+    neighborhood: orient u > v, m = min(N(u) ∪ {u}) = min(v); emit (x, m)
+    for x ∈ N(u) ∪ {u}, x ≠ m."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        o.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_arm = mins.filter(F.col("u") != F.col("m")).select("u", F.col("m").alias("v"))
+    return nbr.union(self_arm).distinct()
+
+
+def _connected_components_twophase(nodes: DataFrame, edges: DataFrame,
+                                   max_iterations: int = MAX_CC_ITERATIONS
+                                   ) -> DataFrame:
+    """Large-star/small-star over 60-bit name-hash ids: O(log n) rounds
+    regardless of graph diameter (each round is 2 groupBys + 2 joins over
+    the shrinking edge set; per-round localCheckpoint cuts lineage)."""
+    names = nodes.select("name").distinct().withColumn("id", h60(F.col("name")))
+    e = (
+        edges.join(names.select(F.col("name").alias("name_a"),
+                                F.col("id").alias("u")), "name_a")
+        .join(names.select(F.col("name").alias("name_b"),
+                           F.col("id").alias("v")), "name_b")
+        .select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if e.isEmpty():
+        return names.select("name", F.col("id").alias("component"))
+    for _ in range(max_iterations):
+        e1 = _large_star(e).localCheckpoint()
+        e2 = _small_star(e1).localCheckpoint()
+        stable = e2.count() == e.count() and e2.exceptAll(e).isEmpty()
+        e = e2
+        if stable:
+            break
+    # converged star graph: u = member, v = component root (its min id)
+    labels = (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("id"), F.col("v").alias("component")))
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+    return (
+        names.join(labels, "id", "left")
+        .select("name", F.coalesce(F.col("component"), F.col("id")).alias("component"))
+    )
 
 
 def canonicalize(mentions: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:

@@ -99,7 +99,7 @@ def test_connected_components_chain(spark):
         [("A", "B"), ("B", "C"), ("D", "E")], ["name_a", "name_b"]
     )
     results = {}
-    for strategy in ("driver", "distributed"):
+    for strategy in ("driver", "distributed", "twophase"):
         comps = {r["name"]: r["component"] for r in
                  linking.connected_components(nodes, edges, strategy=strategy).collect()}
         assert comps["A"] == comps["B"] == comps["C"]
@@ -107,8 +107,25 @@ def test_connected_components_chain(spark):
         assert comps["A"] != comps["D"]
         assert len({comps["F"], comps["G"], comps["A"], comps["D"]}) == 4
         results[strategy] = comps
-    # both strategies produce IDENTICAL labels
-    assert results["driver"] == results["distributed"]
+    # all strategies produce IDENTICAL labels
+    assert results["driver"] == results["distributed"] == results["twophase"]
+
+
+def test_twophase_cc_long_chain(spark):
+    """A 60-node path graph (diameter 59): the large-star/small-star
+    strategy must label it in O(log n) rounds — far under the iteration
+    cap that would starve min-label propagation — and agree with the
+    driver union-find exactly."""
+    names = [f"N{i:03d}" for i in range(60)]
+    nodes = spark.createDataFrame([(n,) for n in names], ["name"])
+    edges = spark.createDataFrame(
+        [(names[i], names[i + 1]) for i in range(59)], ["name_a", "name_b"])
+    two = {r["name"]: r["component"] for r in
+           linking.connected_components(nodes, edges, strategy="twophase").collect()}
+    drv = {r["name"]: r["component"] for r in
+           linking.connected_components(nodes, edges, strategy="driver").collect()}
+    assert two == drv
+    assert len(set(two.values())) == 1  # one component
 
 
 def test_canonical_clusters_match_golden(spark, small_docs, small_docs_df):
