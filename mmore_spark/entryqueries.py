@@ -717,22 +717,36 @@ def _emb_bucket_expr(d: Dialect, table: int) -> str:
     return " + ".join(bits)
 
 
-def _dedup_embedding_pairs_sql(d: Dialect, threshold: float = 0.45) -> str:
-    """Embedding-cosine near-dup candidate pairs: OR-amplified hyperplane
-    LSH — L=4 tables of k=3 planes; a pair is a candidate if it collides
-    in ANY table (join key = (table, bucket), the 100 TB shuffle key) —
-    verified by exact cosine ≥ threshold, rounded to 4dp so both engines
-    agree.  The Spark dialect computes all table buckets in ONE scan and
-    explodes; the DuckDB oracle uses UNION arms."""
+def _emb_buckets_sql(d: Dialect) -> str:
+    """All hash-table bucket assignments.  Spark: ONE scan + explode of a
+    4-struct array; DuckDB: UNION arms (oracle side only)."""
     if d.is_spark:
         structs = ", ".join(
             f"named_struct('tbl', {t}, 'bh', {_emb_bucket_expr(d, t)})"
             for t in range(_EMB_TABLES)
         )
-        buckets = (
+        return (
             f"SELECT vec_id, tb.tbl AS tbl, tb.bh AS bh FROM embeddings "
             f"LATERAL VIEW explode(array({structs})) x AS tb"
         )
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {_emb_bucket_expr(d, t)} AS bh "
+        f"FROM embeddings"
+        for t in range(_EMB_TABLES)
+    )
+
+
+def _dedup_embedding_pairs_sql(d: Dialect, threshold: float = 0.45,
+                               buckets: str | None = None) -> str:
+    """Embedding-cosine near-dup candidate pairs: OR-amplified hyperplane
+    LSH — L=4 tables of k=3 planes; a pair is a candidate if it collides
+    in ANY table (join key = (table, bucket), the 100 TB shuffle key) —
+    verified by exact cosine ≥ threshold, rounded to 4dp so both engines
+    agree.  ``buckets`` lets the Spark caller substitute a persisted
+    bucket view so the self-join does not recompute the projections."""
+    if buckets is None:
+        buckets = _emb_buckets_sql(d)
+    if d.is_spark:
         dcast = "transform(%s, __dc -> cast(__dc as double))"
         dot = ("aggregate(zip_with(ea, eb, (__dx, __dy) -> __dx * __dy), "
                "cast(0.0 as double), (__da, __db) -> __da + __db)")
@@ -741,11 +755,6 @@ def _dedup_embedding_pairs_sql(d: Dialect, threshold: float = 0.45) -> str:
             f"(__dn{side[-1]}, __dv{side[-1]}) -> "
             f"__dn{side[-1]} + __dv{side[-1]} * __dv{side[-1]}))")
     else:
-        buckets = "\nUNION ALL\n".join(
-            f"SELECT vec_id, {t} AS tbl, {_emb_bucket_expr(d, t)} AS bh "
-            f"FROM embeddings"
-            for t in range(_EMB_TABLES)
-        )
         dcast = "list_transform(%s, __dc -> CAST(__dc AS DOUBLE))"
         dot = "list_dot_product(ea, eb)"
         norm = lambda side: f"sqrt(list_dot_product({side}, {side}))"  # noqa: E731
@@ -789,11 +798,19 @@ GROUP BY comp
 
 def _dedup_embedding_groups_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side: the REAL operators — hyperplane-LSH bucket self-join +
-    exact-cosine verify + connected components (operators/linking.py)."""
+    exact-cosine verify + connected components (operators/linking.py).
+    The bucket frame is persisted before the self-join (dedup_minhash
+    pattern): one embeddings scan for bucketing instead of two."""
     from .operators import linking
 
     _register_views(spark, sf_dir)
-    pairs = spark.sql(_dedup_embedding_pairs_sql(SPARK))
+    bk = spark.sql(_emb_buckets_sql(SPARK)).persist()
+    bk.count()
+    bk.createOrReplaceTempView("__emb_bk")
+    pairs = spark.sql(
+        _dedup_embedding_pairs_sql(SPARK, buckets="SELECT * FROM __emb_bk")
+    ).localCheckpoint()  # small result; frees the bucket cache below
+    bk.unpersist()
     edges = pairs.select(
         F.col("va").cast("string").alias("name_a"),
         F.col("vb").cast("string").alias("name_b"),
@@ -1269,6 +1286,61 @@ FROM rows_
 
 
 _df_query("chunk_table_mode", _chunk_table_mode_spark, _chunk_table_mode_duck())
+
+
+def _chunk_multi_rows_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_rows table mode (chunker/utils.py:171-286 semantics): greedy
+    row packing under max_tokens with the header re-prepended per chunk —
+    the REAL Arrow-stage operator over a planted table of 8-12 body rows
+    at chunk_size 20 (header 10 tokens + 5/row ⇒ 2 rows per chunk, odd
+    row counts leave a 1-row tail chunk)."""
+    from .hashing import h60
+    from .operators.chunker import chunk_stage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.pmod(h60(F.col("doc_id").cast("string")), F.lit(5)) + 8).cast("int").alias("k"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_CHUNK_INTRO + "\n" + _CHUNK_HEADER),
+            F.expr(
+                "concat_ws('', transform(sequence(0, k - 1), __mri -> "
+                "concat('\\n| item', cast(__mri as string), ' | 42 |')))"
+            ),
+        ).alias("text"),
+        F.expr(
+            "CAST(array() AS array<struct<kind:string,media_ref:string>>)"
+        ).alias("modalities"),
+    )
+    chunks = chunk_stage(planted, chunk_size=20, table_mode="multi_rows")
+    return chunks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "is_table_chunk",
+    )
+
+
+def _chunk_multi_rows_duck() -> str:
+    """Oracle in closed form: intro chunk (4 tokens) + floor(k/2) packed
+    chunks of 20 tokens + a 15-token single-row tail when k is odd."""
+    h = DUCK.h60("cast(doc_id as string)")
+    return f"""
+WITH base AS (SELECT doc_id, cast({h} % 5 as int) + 8 AS k FROM documents),
+tc AS (SELECT doc_id, k, unnest(range(0, (k + 1) // 2)) AS i FROM base)
+SELECT doc_id, CAST(0 AS BIGINT) AS chunk_index, CAST(4 AS BIGINT) AS n_tokens,
+       false AS is_table_chunk
+FROM base
+UNION ALL
+SELECT doc_id, CAST(i + 1 AS BIGINT),
+       CAST(CASE WHEN 2 * i + 2 <= k THEN 20 ELSE 15 END AS BIGINT), true
+FROM tc
+"""
+
+
+_df_query("chunk_multi_rows", _chunk_multi_rows_spark, _chunk_multi_rows_duck())
 
 
 def _rel_postprocess_reuse_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
