@@ -59,9 +59,9 @@ def run_single(sf_dir: str, cpus: int) -> dict:
 
     bench_queries = [
         "kg_triples", "kg_triples_global", "kg_mentions", "kg_entity_degree",
-        "kg_linking_clusters", "tag_fingerprint", "dedup_minhash_pairs",
-        "dedup_jaccard_pairs", "sim_topk_cosine", "sim_ann_lsh_buckets",
-        "rel_latest_wins", "chunk_word64",
+        "kg_linking_clusters", "kg_cooccurrence", "tag_fingerprint",
+        "dedup_minhash_pairs", "dedup_jaccard_pairs", "sim_topk_cosine",
+        "sim_ann_lsh_buckets", "rel_latest_wins", "chunk_word64",
     ]
     for name in bench_queries:
         t0 = time.time()
