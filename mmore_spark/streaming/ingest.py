@@ -46,6 +46,13 @@ def stream_extract_triples(spark: SparkSession, staging_dir: str,
     combined = extract.extract_combined(rendered, "text")
     counters = {"batches": 0, "rows_in": 0, "rows_written": 0}
 
+    # Narrow side table of already-ingested doc_ids: the per-batch dedup
+    # anti-join reads THIS (one column, tiny) instead of re-scanning the
+    # whole triples table every micro-batch — at 10^12-doc scale the
+    # output is huge but the id set stays a thin fraction of it.
+    # Underscore prefix → ignored by Spark when reading output_dir itself.
+    seen_dir = os.path.join(output_dir, "_seen_ids")
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         counters["batches"] += 1
         # in-batch dedup: two staged files carrying the same doc_id in one
@@ -60,16 +67,18 @@ def stream_extract_triples(spark: SparkSession, staging_dir: str,
             F.col("t.weight").alias("weight"),
         )
         counters["rows_in"] += triples.count()
-        if os.path.isdir(output_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(output_dir)
+        spark_b = batch_df.sparkSession
+        if os.path.isdir(seen_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(seen_dir)
         ):
-            seen = batch_df.sparkSession.read.parquet(output_dir).select(
-                "doc_id").distinct()
+            seen = spark_b.read.parquet(seen_dir).distinct()
             triples = triples.join(seen, "doc_id", "left_anti")
         n = triples.count()
         counters["rows_written"] += n
         if n:
             triples.write.mode("append").parquet(output_dir)
+            triples.select("doc_id").distinct().write.mode("append").parquet(seen_dir)
+            spark_b.catalog.refreshByPath(seen_dir)
 
     q = (
         combined.writeStream.foreachBatch(sink)
