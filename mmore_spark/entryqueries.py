@@ -1392,6 +1392,33 @@ _df_query("rel_postprocess_reuse", _rel_postprocess_reuse_spark,
           _rel_postprocess_reuse_duck())
 
 
+def _rel_deleted_keys_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deleted-file detection (run_process.py:173: previous − current →
+    left_anti) — the REAL operator (operators/incremental.deleted_keys)
+    over snapshot frames derived from events (previous = every 3rd id,
+    current = every 2nd)."""
+    from .operators.incremental import deleted_keys
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prev = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.concat(F.lit("f"), F.col("event_id").cast("string")).alias("file_path"))
+    cur = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.concat(F.lit("f"), F.col("event_id").cast("string")).alias("file_path"))
+    return deleted_keys(prev, cur, key="file_path")
+
+
+def _rel_deleted_keys_duck() -> str:
+    return """
+SELECT DISTINCT 'f' || cast(event_id as varchar) AS file_path
+FROM events e WHERE event_id % 3 = 0
+AND NOT EXISTS (SELECT 1 FROM events c
+                WHERE c.event_id % 2 = 0 AND c.event_id = e.event_id)
+"""
+
+
+_df_query("rel_deleted_keys", _rel_deleted_keys_spark, _rel_deleted_keys_duck())
+
+
 def _paragraph_template(n_pages: int) -> str:
     """Deterministic paged text: n pages, 2 paragraphs each, marker
     separators between pages (pdf_processor.py:211-256 format)."""
