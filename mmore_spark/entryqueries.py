@@ -1646,8 +1646,17 @@ def _canon_ctes() -> str:
     match = _er_match_duck("a.name", "b.name")
     return f"""
 m AS ({mentions}),
-counts AS (SELECT entity_name AS name, count(*) AS nm, min(entity_type) AS etype
-           FROM m GROUP BY 1),
+-- per-name type election mirrors linking.canonicalize exactly: longest
+-- type wins, ties -> lexicographically greatest (ADVICE r02: min() agreed
+-- only while every name carried a single type)
+tname AS (SELECT name, etype,
+                 row_number() OVER (PARTITION BY name
+                                    ORDER BY length(coalesce(etype, '')) DESC,
+                                             coalesce(etype, '') DESC) AS tr
+          FROM (SELECT DISTINCT entity_name AS name, entity_type AS etype FROM m) d),
+counts AS (SELECT c.name, c.nm, t.etype
+           FROM (SELECT entity_name AS name, count(*) AS nm FROM m GROUP BY 1) c
+           JOIN tname t ON c.name = t.name AND t.tr = 1),
 nodes AS (SELECT name FROM counts),
 edges AS (SELECT a.name AS na, b.name AS nb FROM nodes a JOIN nodes b
           ON a.name < b.name AND {match}),

@@ -34,13 +34,33 @@ def _marker(path: str) -> str:
 
 
 def _recover_upsert(path: str) -> None:
-    """Heal the non-atomic window in upsert_table's two-step rename: a
-    crash between ``path → .__upsert_old`` and ``.__upsert_tmp → path``
-    leaves no table at ``path`` — restore the pre-upsert snapshot so the
-    caller simply retries the upsert (ADVICE r01)."""
+    """Heal the non-atomic window in upsert_table's two-step rename.
+
+    ``write_table`` into ``.__upsert_tmp`` finishes (marker included)
+    BEFORE either rename, so a crash between ``path → .__upsert_old`` and
+    ``.__upsert_tmp → path`` always leaves a COMPLETE tmp — roll FORWARD
+    (tmp → path), preserving the crashed upsert's updates.  (ADVICE r02:
+    rolling back restored a snapshot whose completion marker was intact,
+    so the resume rule "skip stages whose marker exists" silently dropped
+    the updates.)  Only when tmp is absent or incomplete do we restore the
+    old snapshot — and then strip its completion marker so the stage is
+    re-run rather than trusted."""
+    import shutil
+
     old = path.rstrip("/") + ".__upsert_old"
-    if not os.path.exists(path) and os.path.isdir(old):
+    tmp = path.rstrip("/") + ".__upsert_tmp"
+    if os.path.exists(path) or not os.path.isdir(old):
+        return
+    if os.path.isdir(tmp) and os.path.exists(_marker(tmp)):
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
         os.rename(old, path)
+        try:
+            os.remove(_marker(path))
+        except FileNotFoundError:
+            pass
 
 
 def is_complete(path: str) -> bool:

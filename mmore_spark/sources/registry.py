@@ -339,15 +339,20 @@ def _pdf_literal(data: bytes, i: int) -> tuple[str, int]:
             if nxt in esc:
                 out += esc[nxt]
                 i += 2
-            elif nxt.isdigit():
+            elif nxt in "01234567":  # octal only: \8 \9 fall through (spec: drop backslash)
                 oct_s = ""
                 j = i + 1
-                while j < len(data) and len(oct_s) < 3 and data[j:j + 1].isdigit():
+                while j < len(data) and len(oct_s) < 3 and data[j:j + 1] in b"01234567":
                     oct_s += data[j:j + 1].decode()
                     j += 1
                 out.append(int(oct_s, 8) & 0xFF)
                 i = j
-            else:  # line continuation / unknown: drop the backslash
+            elif nxt in ("\r", "\n"):  # line continuation: drop \ + EOL
+                i += 2
+                if nxt == "\r" and data[i:i + 1] == b"\n":
+                    i += 1
+            else:  # unknown escape: spec says drop the backslash, KEEP the char
+                out += data[i + 1:i + 2]
                 i += 2
         elif c == b"(":
             depth += 1
@@ -366,10 +371,16 @@ def _pdf_literal(data: bytes, i: int) -> tuple[str, int]:
 
 _PDF_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
+# sentinel an XObject draw (`/Name Do`) leaves in the extracted text; parse_pdf
+# maps sentinels to image modalities in reading order
+_PDF_XOBJ_SENTINEL = "\x00XOBJ\x00"
+
 
 def _pdf_text_from_content(content: bytes) -> str:
     """Extract shown text from one content stream: literal/hex strings fed
-    to Tj / ' / \" / TJ, with Td/TD/T*/'/\" treated as line breaks."""
+    to Tj / ' / \" / TJ, with Td/TD/T*/'/\" treated as line breaks; ``Do``
+    (XObject draw) leaves a sentinel so embedded images keep their reading-
+    order position in the span sequence."""
     out: list[str] = []
     pending: list[str] = []
 
@@ -405,6 +416,9 @@ def _pdf_text_from_content(content: bytes) -> str:
                 flush(newline=True)
             elif op in (b"Tj", b"TJ"):
                 flush(newline=False)
+            elif op == b"Do":  # XObject draw — possible embedded image
+                flush(newline=False)
+                out.append(_PDF_XOBJ_SENTINEL)
             else:
                 pending.clear()  # strings not followed by a show op
             i = m.end() if m else i + 1
@@ -418,13 +432,20 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
     """Minimal PDF text extraction with stdlib only (the reference's
     pdf_processor.py:190-326 uses pymupdf/marker — absent here): decode
     FlateDecode/uncompressed content streams via zlib and replay the text
-    show operators.  Covers simply-encoded text PDFs; CID/encrypted/other
-    filters raise NotImplementedError per file (isolated by the Arrow
-    stage's error column)."""
+    show operators.  Embedded images (``/Subtype /Image`` XObject streams)
+    become ``<attachment>`` modalities WITHOUT decoding pixels — the
+    reading-order position comes from the content stream's ``Do`` draws
+    (reference: pdf_processor.py emits image spans interleaved with text).
+    Covers simply-encoded text PDFs; CID/encrypted/other filters raise
+    NotImplementedError per file (isolated by the Arrow stage's error
+    column)."""
     import zlib
 
     texts: list[str] = []
-    for m in re.finditer(rb"stream\r?\n", payload):
+    n_images = 0
+    # (?<!end): 'endstream\n' contains 'stream\n' — matching it would open a
+    # spurious window spanning into the next object and duplicate its text
+    for m in re.finditer(rb"(?<!end)stream\r?\n", payload):
         start = m.end()
         end = payload.find(b"endstream", start)
         if end == -1:
@@ -432,6 +453,9 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
         raw = payload[start:end].rstrip(b"\r\n")
         dict_start = payload.rfind(b"<<", 0, m.start())
         head = payload[dict_start:m.start()] if dict_start != -1 else b""
+        if re.search(rb"/Subtype\s*/Image\b", head):
+            n_images += 1  # image XObject: keep the ref, never the pixels
+            continue
         if b"/FlateDecode" in head:
             try:
                 raw = zlib.decompress(raw)
@@ -439,17 +463,45 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
                 continue
         elif b"/Filter" in head:
             continue  # unsupported filter (DCT, LZW, ...)
-        if b"BT" not in raw:
-            continue
+        if b"BT" not in raw and b"Do" not in raw:
+            continue  # neither text show nor XObject draw
         t = _pdf_text_from_content(raw).strip()
         if t:
             texts.append(t)
     text = "\n".join(texts)
+    # map Do-draw sentinels to image modalities in reading order: the first
+    # n_images sentinels become attachments (extra Do's are form XObjects —
+    # dropped); images never drawn in content still surface, appended last
+    refs: list[tuple[str, str]] = []
+    pieces = text.split(_PDF_XOBJ_SENTINEL)
+    rebuilt = [pieces[0]]
+    for piece in pieces[1:]:
+        if len(refs) < n_images:
+            refs.append(("image", f"{path}#image{len(refs)}"))
+            rebuilt.append(ATTACHMENT_TAG)
+        rebuilt.append(piece)
+    while len(refs) < n_images:
+        refs.append(("image", f"{path}#image{len(refs)}"))
+        rebuilt.append("\n" + ATTACHMENT_TAG)
+    text = "".join(rebuilt)
     if not text.strip():
         raise NotImplementedError(
             "pdf: no extractable text (image-only, CID-encoded or "
             "unsupported filters; reference path needs pymupdf/marker)")
-    return re.sub(r"[ \t]+", " ", text).strip(), []
+    return re.sub(r"[ \t]+", " ", text).strip(), refs
+
+
+def parse_wav(path: str, payload: bytes) -> tuple[str, list]:
+    """Media processor, WAV branch (media_processor.py:141-210): the
+    reference transcribes with Whisper (absent here); the PCM container is
+    parsed FOR REAL with the stdlib (operators/multimodal.decode_wav) so a
+    corrupt file fails per-file, and the audio becomes an attachment span —
+    feature extraction (duration/rate/RMS) runs downstream over the binary
+    column."""
+    from ..operators.multimodal import decode_wav
+
+    decode_wav(payload)  # validates header + PCM width; raises per file
+    return ATTACHMENT_TAG, [("audio", path)]
 
 
 def _stub(kind: str) -> Parser:
@@ -477,6 +529,7 @@ REGISTRY: dict[str, tuple[str, Parser]] = {
     "csv": ("SpreadsheetProcessor", parse_csv),
     "tsv": ("SpreadsheetProcessor", parse_csv),
     "eml": ("EMLProcessor", parse_eml),
+    "wav": ("MediaProcessor", parse_wav),
     "mp4": ("MediaProcessor", _stub("media")),
     "mp3": ("MediaProcessor", _stub("media")),
 }

@@ -122,3 +122,81 @@ def test_real_decoder_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         MM.real_decoder("x.png", None, "image")
+
+
+def _make_wav(freq=440.0, seconds=0.5, rate=8000, amp=0.5, channels=1,
+              sampwidth=2):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        n = int(rate * seconds)
+        frames = b"".join(
+            struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate)))
+            * channels
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_wav_real_pcm():
+    """VERDICT r02 #4: real stdlib PCM parsing — duration, rate, channels,
+    RMS/peak of a synthesized sine must match the analytic values."""
+    payload = _make_wav(seconds=0.5, rate=8000, amp=0.5)
+    f = MM.decode_wav(payload)
+    assert f["duration_s"] == 0.5
+    assert f["sample_rate"] == 8000 and f["channels"] == 1
+    assert abs(f["peak"] - 0.5) < 0.01
+    assert abs(f["rms"] - 0.5 / 2 ** 0.5) < 0.01  # sine RMS = amp/sqrt(2)
+
+
+def test_decode_wav_rejects_unsupported():
+    import pytest
+
+    with pytest.raises(Exception):
+        MM.decode_wav(b"RIFFxxxxWAVEnot really")
+    with pytest.raises(NotImplementedError):
+        MM.decode_wav(_make_wav(sampwidth=3))  # 24-bit PCM: honest raise
+
+
+def test_extract_audio_features_arrow_stage(spark):
+    """One Arrow stage over the binary column; per-file failures isolate
+    into the error column."""
+    good = _make_wav(seconds=0.25, rate=16000, amp=0.8)
+    rows = [("d1", "a.wav", bytearray(good)), ("d2", "bad.wav", bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "doc_id string, media_ref string, payload binary")
+    got = {r["media_ref"]: r for r in MM.extract_audio_features(df).collect()}
+    ok = got["a.wav"]
+    assert ok["error"] is None
+    assert ok["duration_s"] == 0.25 and ok["sample_rate"] == 16000
+    assert abs(ok["rms"] - 0.8 / 2 ** 0.5) < 0.01 and abs(ok["peak"] - 0.8) < 0.01
+    bad = got["bad.wav"]
+    assert bad["error"] is not None and bad["duration_s"] is None
+
+
+def test_wav_routes_through_registry(spark, tmp_path):
+    """wav is a REAL registry format now: routed as MediaProcessor, text =
+    attachment placeholder, audio modality kept; corrupt files fail
+    per-file; mp3 stays a stub."""
+    from mmore_spark.sources import registry
+
+    d = tmp_path / "media"
+    os.makedirs(d)
+    (d / "tone.wav").write_bytes(_make_wav())
+    (d / "broken.wav").write_bytes(b"RIFF????WAVE????")
+    (d / "song.mp3").write_bytes(b"ID3fakempeg")
+    parsed = registry.scan_and_parse(spark, str(d))
+    rows = {os.path.basename(r["file_path"]): r for r in parsed.collect()}
+    ok = rows["tone.wav"]
+    assert ok["error"] is None and ok["processor_type"] == "MediaProcessor"
+    assert ok["text"] == registry.ATTACHMENT_TAG
+    assert ok["modalities"][0]["kind"] == "audio"
+    assert rows["broken.wav"]["error"] is not None
+    assert "NotImplementedError" in rows["song.mp3"]["error"]

@@ -209,7 +209,74 @@ def test_parse_pdf():
     assert lines[3] == "Hex!"                # hex string show
 
 
-def test_parse_pdf_unsupported_raises():
+def test_parse_pdf_two_streams_no_duplication():
+    """ADVICE r02: the 'stream\\n' inside 'endstream\\n' must not open a
+    spurious window spanning into the next object (it duplicated the next
+    stream's text: 'Hello\\nWorld\\nWorld')."""
+    s1 = b"BT 72 720 Td (Hello) Tj ET"
+    s2 = b"BT 72 720 Td (World) Tj ET"
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Length " + str(len(s1)).encode() + b" >>\nstream\n"
+        + s1 + b"\nendstream\nendobj\n"
+        b"2 0 obj << /Length " + str(len(s2)).encode() + b" >>\nstream\n"
+        + s2 + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text, refs = registry.parse_pdf("/m/two.pdf", body)
+    assert text == "Hello\nWorld"
+
+
+def test_parse_pdf_embedded_image_modalities():
+    """VERDICT r02 #8: /Subtype /Image XObjects become <attachment>
+    modalities (ref kept, pixels never decoded), positioned in reading
+    order via the content stream's Do draw."""
+    content = (b"BT 72 720 Td (Before image.) Tj ET "
+               b"q 100 0 0 100 0 0 cm /Im1 Do Q "
+               b"BT 72 600 Td (After image.) Tj ET")
+    imgdata = b"\xff\xd8\xff\xe0FAKEJPEGPIXELS"
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"4 0 obj << /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length " + str(len(imgdata)).encode() + b" >>\nstream\n"
+        + imgdata + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text, refs = registry.parse_pdf("/m/img.pdf", body)
+    assert refs == [("image", "/m/img.pdf#image0")]
+    tag = registry.ATTACHMENT_TAG
+    assert text.index("Before image.") < text.index(tag) < text.index("After image.")
+    assert "FAKEJPEG" not in text  # pixel bytes never leak into text
+
+
+def test_parse_pdf_image_only_keeps_modalities():
+    """An image-only PDF (no text shows at all) must NOT raise: its spans
+    are pure attachments."""
+    imgdata = b"\x89PNGFAKE"
+    content = b"q 10 0 0 10 0 0 cm /Im1 Do Q"
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"2 0 obj << /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/Length " + str(len(imgdata)).encode() + b" >>\nstream\n"
+        + imgdata + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text, refs = registry.parse_pdf("/m/io.pdf", body)
+    assert refs == [("image", "/m/io.pdf#image0")]
+    assert text == registry.ATTACHMENT_TAG
+
+
+def test_pdf_literal_non_octal_and_unknown_escapes():
+    """ADVICE r02: \\8 and \\9 are NOT octal — per spec the backslash is
+    dropped and the character kept (the old code raised ValueError and
+    failed the whole file); \\101 is octal 'A'; \\<newline> is a line
+    continuation (both chars dropped)."""
+    data = rb"(a\8b\9c\101d" + b"\\\ne)"
+    s, i = registry._pdf_literal(data, 0)
+    assert s == "a8b9cAde"
+    assert i == len(data)
     import pytest
 
     with pytest.raises(NotImplementedError):

@@ -3,6 +3,8 @@ incremental pickup, doc-id dedup (the reference job-queue contract)."""
 
 import os
 
+import pytest
+
 from mmore_spark.corpus.generator import generate_documents
 from mmore_spark.streaming.ingest import stream_extract_triples
 
@@ -74,6 +76,108 @@ def test_stateful_sessionization_across_drains(spark, tmp_path):
     drain_sessions(spark, staging, ckpt, out)
     spark.catalog.refreshByPath(out)
     assert sessions() == {(1, 0): (2, 3.0), (2, 0): (2, 24.0)}
+
+
+def test_stream_single_extraction_eval_per_batch(spark, tmp_path, monkeypatch):
+    """The sink takes several actions (counts + two writes); the persisted
+    batch must make the extraction stage evaluate ONCE per micro-batch
+    (VERDICT r02: the old sink replayed extraction per action)."""
+    import mmore_spark.streaming.ingest as ingest
+
+    acc = spark.sparkContext.accumulator(0)
+    real = ingest.extract.extract_combined
+
+    def counted(df, col):
+        out = real(df, col)
+
+        def tick(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        return out.mapInPandas(tick, out.schema)
+
+    monkeypatch.setattr(ingest.extract, "extract_combined", counted)
+    staging = str(tmp_path / "staging3")
+    os.makedirs(staging)
+    generate_documents(spark, 40, seed=11).write.mode("append").parquet(staging)
+    stream_extract_triples(spark, staging, str(tmp_path / "out3"),
+                           str(tmp_path / "ckpt3"))
+    # one extraction pass: exactly one post-extraction row per staged doc
+    assert acc.value == 40
+
+
+def test_stream_replay_after_partial_commit_is_exactly_once(spark, tmp_path,
+                                                            monkeypatch):
+    """Crash AFTER the triples append but BEFORE the seen-ids append: the
+    checkpoint replays the batch under the same batch_id — the attempt
+    marker routes the replay through a fallback anti-join against the
+    output itself, so nothing is double-appended (ADVICE r02)."""
+    from pyspark.errors import StreamingQueryException
+
+    import mmore_spark.streaming.ingest as ingest
+
+    staging = str(tmp_path / "staging4")
+    out = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ckpt4")
+    os.makedirs(staging)
+    generate_documents(spark, 30, seed=5).write.mode("append").parquet(staging)
+
+    real_append = ingest._append_seen
+    calls = {"n": 0}
+
+    def dying_append(triples, seen_dir):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash between triples and seen appends")
+
+    monkeypatch.setattr(ingest, "_append_seen", dying_append)
+    with pytest.raises(StreamingQueryException):
+        stream_extract_triples(spark, staging, out, ckpt)
+    assert calls["n"] == 1
+    crashed_rows = spark.read.parquet(out).count()
+    assert crashed_rows > 0  # the triples append DID land before the crash
+
+    # restart without the fault: the same batch replays from the checkpoint
+    monkeypatch.setattr(ingest, "_append_seen", real_append)
+    c = stream_extract_triples(spark, staging, out, ckpt)
+    assert c["batches"] >= 1 and c["rows_written"] == 0  # fallback filtered all
+    spark.catalog.refreshByPath(out)
+    final = spark.read.parquet(out)
+    assert final.count() == crashed_rows  # no duplicates
+    assert final.select("doc_id", "subj", "obj").distinct().count() == final.count()
+
+    # and a later drain with new docs still dedups correctly
+    generate_documents(spark, 50, seed=5).write.mode("append").parquet(staging)
+    c2 = stream_extract_triples(spark, staging, out, ckpt)
+    assert c2["rows_written"] > 0
+    spark.catalog.refreshByPath(out)
+    final2 = spark.read.parquet(out)
+    assert final2.select("doc_id", "subj", "obj").distinct().count() == final2.count()
+
+
+def test_stream_seen_ids_file_count_bounded(spark, tmp_path):
+    """_seen_ids must not grow one file per drain forever: after many
+    drains the compactor folds it back under the threshold (VERDICT r02)."""
+    from mmore_spark.streaming.ingest import SEEN_COMPACT_MAX_FILES
+
+    staging = str(tmp_path / "staging5")
+    out = str(tmp_path / "out5")
+    ckpt = str(tmp_path / "ckpt5")
+    os.makedirs(staging)
+    total = 0
+    for i in range(SEEN_COMPACT_MAX_FILES + 6):
+        total += 3
+        generate_documents(spark, total, seed=9).coalesce(1).write.mode(
+            "append").parquet(staging)
+        stream_extract_triples(spark, staging, out, ckpt)
+    seen_dir = os.path.join(out, "_seen_ids")
+    files = [f for f in os.listdir(seen_dir) if f.endswith(".parquet")]
+    assert len(files) <= SEEN_COMPACT_MAX_FILES + 1
+    # compaction lost nothing: every doc_id still deduped on re-stage
+    generate_documents(spark, total, seed=9).coalesce(1).write.mode(
+        "append").parquet(staging)
+    c = stream_extract_triples(spark, staging, out, ckpt)
+    assert c["rows_written"] == 0
 
 
 def test_stream_dedup_within_batch(spark, tmp_path):

@@ -34,20 +34,42 @@ def test_upsert_latest_wins_by_version(spark, tmp_path):
     assert got == {"a": 1, "d": 4}
 
 
-def test_upsert_crash_window_recovery(spark, tmp_path):
-    """A crash between the two renames leaves no table at `path`; readers
-    and the next upsert must restore the pre-upsert snapshot (ADVICE r01)."""
+def test_upsert_crash_rolls_forward_to_completed_tmp(spark, tmp_path):
+    """The REAL crash window: write_table(tmp) finished (marker intact),
+    `path` renamed to `.__upsert_old`, crash before `tmp → path`.  Recovery
+    must roll FORWARD to tmp — the updates are preserved, is_complete stays
+    true, and resume never silently drops the upsert (ADVICE r02)."""
+    path = str(tmp_path / "t3f")
+    base = spark.createDataFrame([("a", 1)], "doc_id string, v int")
+    tables.upsert_table(spark, path, base)
+    merged = spark.createDataFrame([("a", 2)], "doc_id string, v int")
+    tables.write_table(merged, path + ".__upsert_tmp", stage="upsert")
+    os.rename(path, path + ".__upsert_old")  # crash point
+    assert not os.path.exists(path)
+    assert tables.is_complete(path)  # heal happened inside is_complete
+    got = {r["doc_id"]: r["v"] for r in tables.read_table(spark, path).collect()}
+    assert got == {"a": 2}  # the crashed upsert's updates survived
+    assert not os.path.exists(path + ".__upsert_old")
+    assert not os.path.exists(path + ".__upsert_tmp")
+
+
+def test_upsert_crash_without_tmp_restores_old_and_surfaces(spark, tmp_path):
+    """Fallback (tmp absent/partial): restore the pre-upsert snapshot but
+    STRIP its completion marker, so the resume rule re-runs the stage
+    instead of trusting data the upsert never reached (ADVICE r02)."""
     path = str(tmp_path / "t3")
     base = spark.createDataFrame([("a", 1)], "doc_id string, v int")
     tables.upsert_table(spark, path, base)
-    # simulate the crash window: path renamed away, tmp not yet swapped in
+    # simulate the crash window with NO completed tmp
     os.rename(path, path + ".__upsert_old")
     assert not os.path.exists(path)
     got = {r["doc_id"]: r["v"] for r in tables.read_table(spark, path).collect()}
-    assert got == {"a": 1}  # read healed the table
+    assert got == {"a": 1}  # read healed the table to the old snapshot
     assert os.path.exists(path) and not os.path.exists(path + ".__upsert_old")
+    assert not tables.is_complete(path)  # incompleteness surfaced
     # the retried upsert then applies cleanly
     upd = spark.createDataFrame([("a", 2)], "doc_id string, v int")
     tables.upsert_table(spark, path, upd)
     got = {r["doc_id"]: r["v"] for r in tables.read_table(spark, path).collect()}
     assert got == {"a": 2}
+    assert tables.is_complete(path)
