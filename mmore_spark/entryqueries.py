@@ -1800,3 +1800,41 @@ FROM grouped
 
 
 _df_query("kg_pipeline_entities", _kg_pipeline_entities_spark, _kg_pipeline_entities_duck())
+
+
+def _kg_triples_chunked_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunker + extractor COMPOSITION under the driver gate (VERDICT r02
+    #9): sentence-chunk every document (64-word packing), run the one-
+    Arrow-stage extraction per chunk, merge per doc relationally.  The
+    sentence chunker never splits inside a sentence and the parser merge
+    is associative, so this must equal doc-level extraction exactly — the
+    oracle is the doc-level SQL grouped to the merged per-doc shape."""
+    from .operators.extract import extract_mentions_triples_chunked
+
+    docs = derive.derived_documents(spark, sf_dir)
+    _, triples = extract_mentions_triples_chunked(docs, chunk_size=64)
+    return triples.select(
+        # the Arrow extraction schema strings doc_id; restore the table's
+        # native BIGINT so the oracle compare is type-exact
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "subj", "obj",
+        F.concat_ws(",", "pred").alias("preds"),
+        "weight",
+    )
+
+
+def _kg_triples_chunked_duck() -> str:
+    """Oracle: doc-level flat extraction (kg_triples SQL) merged per doc
+    with the parser's within-doc edge semantics: unordered pair, preds =
+    sorted distinct union, weight = per-record 1.0 accumulation."""
+    triples = _kg_triples_sql(DUCK)
+    return f"""
+WITH t AS (SELECT * FROM (\n{triples}\n) __t)
+SELECT doc_id, least(subj, obj) AS subj, greatest(subj, obj) AS obj,
+       string_agg(DISTINCT pred, ',' ORDER BY pred) AS preds,
+       CAST(count(*) AS DOUBLE) AS weight
+FROM t GROUP BY 1, 2, 3
+"""
+
+
+_df_query("kg_triples_chunked", _kg_triples_chunked_spark, _kg_triples_chunked_duck())

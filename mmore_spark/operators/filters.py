@@ -135,7 +135,11 @@ def unigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     words = df.select("doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("w")) \
         .filter(F.length("w") > 0)
-    docw = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    # persist the narrow (doc_id, w, c) aggregate: freq, total and the probe
+    # all hang off it — without the cache the plan re-scans the full text
+    # column three times (CacheManager dedups identical plans, so repeated
+    # calls reuse one entry; spills to disk above memory)
+    docw = words.groupBy("doc_id", "w").agg(F.count("*").alias("c")).persist()
     freq = docw.groupBy("w").agg(F.sum("c").alias("n"))
     total = freq.agg(F.sum("n").alias("tot"))
     scored = docw.join(F.broadcast(freq), "w").crossJoin(F.broadcast(total))

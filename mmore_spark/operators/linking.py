@@ -353,12 +353,18 @@ def _small_star(e: DataFrame) -> DataFrame:
     return nbr.union(self_arm).distinct()
 
 
+# rounds the last twophase run took to converge — observability for the
+# O(log n) claim (scripts/cc_scale.py asserts rounds <= log2(n) + 2)
+LAST_TWOPHASE_ROUNDS = 0
+
+
 def _connected_components_twophase(nodes: DataFrame, edges: DataFrame,
                                    max_iterations: int = MAX_CC_ITERATIONS
                                    ) -> DataFrame:
     """Large-star/small-star over 60-bit name-hash ids: O(log n) rounds
     regardless of graph diameter (each round is 2 groupBys + 2 joins over
     the shrinking edge set; per-round localCheckpoint cuts lineage)."""
+    global LAST_TWOPHASE_ROUNDS
     names = nodes.select("name").distinct().withColumn("id", h60(F.col("name")))
     e = (
         edges.join(names.select(F.col("name").alias("name_a"),
@@ -371,14 +377,16 @@ def _connected_components_twophase(nodes: DataFrame, edges: DataFrame,
         .localCheckpoint()
     )
     if e.isEmpty():
+        LAST_TWOPHASE_ROUNDS = 0
         return names.select("name", F.col("id").alias("component"))
-    for _ in range(max_iterations):
+    for rounds in range(1, max_iterations + 1):
         e1 = _large_star(e).localCheckpoint()
         e2 = _small_star(e1).localCheckpoint()
         stable = e2.count() == e.count() and e2.exceptAll(e).isEmpty()
         e = e2
         if stable:
             break
+    LAST_TWOPHASE_ROUNDS = rounds
     # converged star graph: u = member, v = component root (its min id)
     labels = (
         e.select(F.col("u").alias("id"), F.col("v").alias("component"))

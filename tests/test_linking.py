@@ -126,6 +126,11 @@ def test_twophase_cc_long_chain(spark):
            linking.connected_components(nodes, edges, strategy="driver").collect()}
     assert two == drv
     assert len(set(two.values())) == 1  # one component
+    # O(log n) claim, observable: 60 nodes → rounds ≤ log2(60)+2 = 7
+    # (scripts/cc_scale.py asserts the same bound at 2.2M edges)
+    import math
+
+    assert 1 <= linking.LAST_TWOPHASE_ROUNDS <= int(math.log2(60)) + 2
 
 
 def test_canonical_clusters_match_golden(spark, small_docs, small_docs_df):
