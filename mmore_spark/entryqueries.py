@@ -1838,3 +1838,112 @@ FROM t GROUP BY 1, 2, 3
 
 
 _df_query("kg_triples_chunked", _kg_triples_chunked_spark, _kg_triples_chunked_duck())
+
+
+def _media_wav_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode under the oracle gate: synthesize a deterministic
+    square-wave PCM file per document (rate/frames/amplitude are pure
+    functions of doc_id), run it through the REAL stdlib decoder
+    (operators/multimodal.extract_audio_features — wave + numpy over one
+    Arrow stage), and report integer invariants the decode must recover
+    exactly: frame count = round(duration·rate), amplitude =
+    round(rms·32768) (square wave ⇒ |sample| constant), peak likewise.
+    The oracle is closed-form SQL arithmetic over doc_id."""
+    from .operators.multimodal import extract_audio_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def synth(batches):
+        import io
+        import struct
+        import wave as wavelib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = 8000 + (d % 5) * 1000
+                n = 800 + (d % 100) * 8  # always even
+                amp = 1000 + (d % 50) * 100
+                buf = io.BytesIO()
+                with wavelib.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    frame = struct.pack("<h", amp) + struct.pack("<h", -amp)
+                    w.writeframes(frame * (n // 2))
+                rows.append({"doc_id": str(d), "media_ref": f"mem://{d}.wav",
+                             "payload": buf.getvalue()})
+            yield pd.DataFrame(rows, columns=["doc_id", "media_ref", "payload"])
+
+    wavs = docs.mapInPandas(
+        synth, "doc_id string, media_ref string, payload binary")
+    feats = extract_audio_features(wavs)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        F.round(F.col("duration_s") * F.col("sample_rate"), 0).cast("long")
+        .alias("n_frames"),
+        F.round(F.col("rms") * 32768, 0).cast("long").alias("amp"),
+        F.round(F.col("peak") * 32768, 0).cast("long").alias("peak_amp"),
+    )
+
+
+def _media_wav_features_duck() -> str:
+    return """
+SELECT doc_id,
+       CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(800 + (doc_id % 100) * 8 AS BIGINT) AS n_frames,
+       CAST(1000 + (doc_id % 50) * 100 AS BIGINT) AS amp,
+       CAST(1000 + (doc_id % 50) * 100 AS BIGINT) AS peak_amp
+FROM documents
+"""
+
+
+_df_query("media_wav_features", _media_wav_features_spark, _media_wav_features_duck())
+
+
+def _pdf_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF parsing under the oracle gate: write every document's text
+    into a synthesized FlateDecode PDF (literal string with the \\( \\) \\\\
+    escapes, one content stream) and extract it back with the REAL stdlib
+    parser (sources/registry.parse_pdf: stream scan → zlib → text-show
+    replay → escape decode).  The corpus text is space-normalized ASCII,
+    so round-trip must be byte-identity — the oracle is the text column
+    itself.  One Arrow stage; exercises the full PDF path on 500 real
+    payloads instead of two fixtures."""
+    from .sources.registry import parse_pdf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                esc = (txt.replace("\\", "\\\\").replace("(", "\\(")
+                       .replace(")", "\\)"))
+                content = b"BT 72 720 Td (" + esc.encode("latin-1") + b") Tj ET"
+                comp = zlib.compress(content)
+                body = (
+                    b"%PDF-1.4\n1 0 obj << /Length " + str(len(comp)).encode()
+                    + b" /Filter /FlateDecode >>\nstream\n" + comp
+                    + b"\nendstream\nendobj\n%%EOF\n"
+                )
+                text2, _refs = parse_pdf(f"mem://{d}.pdf", body)
+                out.append({"doc_id": str(d), "text": text2})
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    return docs.mapInPandas(run, "doc_id string, text string").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
+_df_query("pdf_roundtrip_text", _pdf_roundtrip_spark,
+          "SELECT doc_id, text FROM documents")

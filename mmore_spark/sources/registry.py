@@ -450,9 +450,25 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
         end = payload.find(b"endstream", start)
         if end == -1:
             continue
-        raw = payload[start:end].rstrip(b"\r\n")
         dict_start = payload.rfind(b"<<", 0, m.start())
         head = payload[dict_start:m.start()] if dict_start != -1 else b""
+        # /Length is authoritative when it's a direct int (PDF 32000-1
+        # §7.3.8.2) — EOL heuristics are ambiguous when the deflate data
+        # itself ends in 0x0d/0x0a (~1% of compressed payloads)
+        raw = None
+        m_len = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+        if m_len:
+            length = int(m_len.group(1))
+            cand = payload[start:start + length]
+            if re.match(rb"(\r\n|\r|\n)?endstream",
+                        payload[start + length:start + length + 11]):
+                raw = cand
+        if raw is None:  # no usable /Length: window + strip exactly ONE EOL
+            raw = payload[start:end]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith((b"\n", b"\r")):
+                raw = raw[:-1]
         if re.search(rb"/Subtype\s*/Image\b", head):
             n_images += 1  # image XObject: keep the ref, never the pixels
             continue

@@ -268,6 +268,25 @@ def test_parse_pdf_image_only_keeps_modalities():
     assert text == registry.ATTACHMENT_TAG
 
 
+def test_parse_pdf_length_wins_over_eol_heuristics():
+    """Round-3 fix: when the deflate data itself ends in 0x0d, stripping
+    EOLs before 'endstream' corrupts the stream — the direct /Length in
+    the dict is authoritative (PDF 32000-1 §7.3.8.2).  This payload's
+    compressed form deterministically ends with 0x0d."""
+    import zlib
+
+    content = b"BT 72 720 Td (word 299 salt) Tj ET"
+    comp = zlib.compress(content)
+    assert comp.endswith(b"\r")  # the ambiguous case
+    body = (
+        b"%PDF-1.4\n1 0 obj << /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + comp
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text, refs = registry.parse_pdf("/m/len.pdf", body)
+    assert text == "word 299 salt"
+
+
 def test_pdf_literal_non_octal_and_unknown_escapes():
     """ADVICE r02: \\8 and \\9 are NOT octal — per spec the backslash is
     dropped and the character kept (the old code raised ValueError and
