@@ -1947,3 +1947,146 @@ def _pdf_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _df_query("pdf_roundtrip_text", _pdf_roundtrip_spark,
           "SELECT doc_id, text FROM documents")
+
+
+def _eml_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EML parsing under the oracle gate: wrap every document's text
+    in an RFC-822 message with doc_id-derived headers, parse with the REAL
+    stdlib-email processor (sources/registry.parse_eml), and compare the
+    full header+body rendering against closed-form SQL.  (Header values
+    avoid address syntax on purpose — clean_text masks emails.)"""
+    from .sources.registry import parse_eml
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                # single-token From/To: the email policy re-renders address
+                # headers (quoting multi-word display names)
+                raw = (
+                    f"From: Sender{d % 97}\n"
+                    f"To: Recipient{d % 89}\n"
+                    f"Subject: Doc {d}\n"
+                    f"Date: 2024-01-{d % 28 + 1:02d}\n"
+                    f"\n{txt}\n"
+                ).encode("utf-8")
+                text2, _refs = parse_eml(f"mem://{d}.eml", raw)
+                out.append({"doc_id": str(d), "text": text2})
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    return docs.mapInPandas(run, "doc_id string, text string").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
+def _eml_roundtrip_duck() -> str:
+    return """
+SELECT doc_id,
+       'From: Sender' || (doc_id % 97) || chr(10) ||
+       'To: Recipient' || (doc_id % 89) || chr(10) ||
+       'Subject: Doc ' || doc_id || chr(10) ||
+       'Date: 2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+       chr(10) || text AS text
+FROM documents
+"""
+
+
+_df_query("eml_roundtrip_text", _eml_roundtrip_spark, _eml_roundtrip_duck())
+
+
+def _docx_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DOCX parsing under the oracle gate: write every document's
+    text into a minimal OOXML package (one w:p/w:r/w:t, XML-escaped) and
+    extract it back with the REAL zipfile+ElementTree processor
+    (sources/registry.parse_docx).  Identity against the text column."""
+    from .sources.registry import parse_docx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def run(batches):
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                xml = (
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+                    'wordprocessingml/2006/main"><w:body><w:p><w:r><w:t>'
+                    + escape(txt) + "</w:t></w:r></w:p></w:body></w:document>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("word/document.xml", xml)
+                text2, _refs = parse_docx(f"mem://{d}.docx", buf.getvalue())
+                out.append({"doc_id": str(d), "text": text2})
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    return docs.mapInPandas(run, "doc_id string, text string").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
+_df_query("docx_roundtrip_text", _docx_roundtrip_spark,
+          "SELECT doc_id, text FROM documents")
+
+
+def _pptx_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PPTX parsing under the oracle gate: one slide, one positioned
+    shape carrying the document text, resolved through presentation.xml →
+    rels → slide (the full routing the real processor walks).  Identity
+    against the text column."""
+    from .sources.registry import parse_pptx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    P = 'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+    A = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+    R = ('xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+         'relationships"')
+    REL = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+           'openxmlformats.org/package/2006/relationships">')
+
+    def run(batches):
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        import pandas as pd
+
+        pres = (f'<?xml version="1.0"?><p:presentation {P} {R}><p:sldIdLst>'
+                '<p:sldId id="256" r:id="rId1"/></p:sldIdLst></p:presentation>')
+        pres_rels = (REL + '<Relationship Id="rId1" Type="x" '
+                     'Target="slides/slide1.xml"/></Relationships>')
+        for pdf in batches:
+            out = []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                slide = (
+                    f'<?xml version="1.0"?><p:sld {P} {A} {R}><p:cSld>'
+                    '<p:spTree><p:sp><p:spPr><a:xfrm><a:off x="0" y="100"/>'
+                    "</a:xfrm></p:spPr><p:txBody><a:p><a:r><a:t>"
+                    + escape(txt)
+                    + "</a:t></a:r></a:p></p:txBody></p:sp></p:spTree>"
+                    "</p:cSld></p:sld>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("ppt/presentation.xml", pres)
+                    zf.writestr("ppt/_rels/presentation.xml.rels", pres_rels)
+                    zf.writestr("ppt/slides/slide1.xml", slide)
+                text2, _refs = parse_pptx(f"mem://{d}.pptx", buf.getvalue())
+                out.append({"doc_id": str(int(d)), "text": text2})
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    return docs.mapInPandas(run, "doc_id string, text string").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
+_df_query("pptx_roundtrip_text", _pptx_roundtrip_spark,
+          "SELECT doc_id, text FROM documents")
