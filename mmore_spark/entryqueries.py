@@ -2090,3 +2090,118 @@ def _pptx_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _df_query("pptx_roundtrip_text", _pptx_roundtrip_spark,
           "SELECT doc_id, text FROM documents")
+
+
+def _xlsx_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL XLSX parsing under the oracle gate: a one-column numeric sheet
+    (inlineStr header + three doc_id-derived number cells) through the
+    REAL OOXML grid parser and the reference's exact
+    ``"Sheet: {name}\\n" + to_string(index=False)`` rendering — which for
+    a single integer column is deterministic lpad-to-width-7 the oracle
+    reproduces in SQL."""
+    from .sources.registry import parse_xlsx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    XM = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    XR = ('xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+          'relationships"')
+    REL = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+           'openxmlformats.org/package/2006/relationships">')
+
+    def run(batches):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        wb = (f'<?xml version="1.0"?><workbook {XM} {XR}><sheets>'
+              '<sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        wb_rels = (REL + '<Relationship Id="rId1" Type="x" '
+                   'Target="worksheets/sheet1.xml"/></Relationships>')
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                vals = (d, d * 7 % 1000, d % 97)
+                rows_xml = "".join(
+                    f"<row><c><v>{v}</v></c></row>" for v in vals)
+                ws = (f'<?xml version="1.0"?><worksheet {XM}><sheetData>'
+                      '<row><c t="inlineStr"><is><t>values</t></is></c></row>'
+                      + rows_xml + "</sheetData></worksheet>")
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr("xl/workbook.xml", wb)
+                    zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+                    zf.writestr("xl/worksheets/sheet1.xml", ws)
+                text2, _refs = parse_xlsx(f"mem://{d}.xlsx", buf.getvalue())
+                out.append({"doc_id": str(d), "text": text2})
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    return docs.mapInPandas(run, "doc_id string, text string").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
+def _xlsx_roundtrip_duck() -> str:
+    v = lambda e: f"lpad(CAST({e} AS VARCHAR), 7, ' ')"  # noqa: E731
+    return f"""
+SELECT doc_id,
+       'Sheet: Data' || chr(10) || lpad('values', 7, ' ') || chr(10) ||
+       {v('doc_id')} || chr(10) ||
+       {v('doc_id * 7 % 1000')} || chr(10) ||
+       {v('doc_id % 97')} AS text
+FROM documents
+"""
+
+
+_df_query("xlsx_roundtrip_text", _xlsx_roundtrip_spark, _xlsx_roundtrip_duck())
+
+
+def _md_html_roundtrip(parser_name: str, make_doc, oracle_suffix: str):
+    """Shared builder for the markdown/html processor round-trips: plant
+    an image next to the document text, parse with the REAL processor,
+    and check the attachment placeholder + collected ref in SQL."""
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .sources import registry as reg
+        parser = getattr(reg, parser_name)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text")
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                    text2, refs = parser(f"mem://{d}", make_doc(txt).encode())
+                    out.append({"doc_id": str(int(d)), "text": text2,
+                                "n_refs": len(refs),
+                                "ref0": refs[0][1] if refs else None})
+                yield pd.DataFrame(out, columns=["doc_id", "text", "n_refs",
+                                                 "ref0"])
+
+        return docs.mapInPandas(
+            run, "doc_id string, text string, n_refs long, ref0 string"
+        ).select(F.col("doc_id").cast("long").alias("doc_id"), "text",
+                 "n_refs", "ref0")
+
+    oracle = f"""
+SELECT doc_id, text || '{oracle_suffix}' AS text,
+       CAST(1 AS BIGINT) AS n_refs, 'img/pic.png' AS ref0
+FROM documents
+"""
+    return spark_fn, oracle
+
+
+_md_spark, _md_oracle = _md_html_roundtrip(
+    "parse_md",
+    lambda txt: txt + " ![fig](img/pic.png) tail",
+    " <attachment> tail",
+)
+_df_query("md_roundtrip_text", _md_spark, _md_oracle)
+
+_html_spark, _html_oracle = _md_html_roundtrip(
+    "parse_html",
+    lambda txt: "<p>" + txt + ' <img src="img/pic.png"> end</p>',
+    " <attachment> end",
+)
+_df_query("html_roundtrip_text", _html_spark, _html_oracle)

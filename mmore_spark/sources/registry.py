@@ -56,14 +56,22 @@ _HTML_IMG = re.compile(r"<img[^>]*src=[\"']([^\"']*)[\"'][^>]*>", re.I)
 _HTML_TAG = re.compile(r"<[^>]+>")
 
 
+_HTML_ATT_SENTINEL = "\x00ATT\x00"
+
+
 def parse_html(path: str, payload: bytes) -> tuple[str, list]:
     """HTML processor (html_processor.py:33-110): strip markup, image
-    tags → placeholders."""
+    tags → placeholders.  The placeholder is planted as a non-tag
+    sentinel first — substituting ``<attachment>`` directly would get
+    eaten by the tag-stripping pass and the media span would lose its
+    position in the span sequence (round-3 bug found by the round-trip
+    oracle)."""
     text = payload.decode("utf-8", errors="replace")
     refs = [("image", m.group(1)) for m in _HTML_IMG.finditer(text)]
-    text = _HTML_IMG.sub(ATTACHMENT_TAG, text)
+    text = _HTML_IMG.sub(_HTML_ATT_SENTINEL, text)
     text = _HTML_TAG.sub(" ", text)
-    return re.sub(r"\s+", " ", text).strip(), refs
+    text = re.sub(r"\s+", " ", text).strip()
+    return text.replace(_HTML_ATT_SENTINEL, ATTACHMENT_TAG), refs
 
 
 def _clean_py(text: str) -> str:

@@ -389,6 +389,9 @@ def test_registry_routing_and_parse(spark, tmp_path):
     assert rows["b.md"]["modalities"][0]["media_ref"] == "img/x.png"
     assert rows["c.html"]["modalities"][0]["media_ref"] == "y.jpg"
     assert "img" not in rows["c.html"]["text"]
+    # the placeholder must SURVIVE tag stripping (round-3 fix: a literal
+    # <attachment> substitution was itself eaten by the tag regex)
+    assert registry.ATTACHMENT_TAG in rows["c.html"]["text"]
     # stubbed format fails per-file, not the job
     assert rows["d.pdf"]["error"] is not None and "NotImplementedError" in rows["d.pdf"]["error"]
     # real stdlib parsers route end-to-end through the Arrow stage
