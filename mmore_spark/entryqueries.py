@@ -2205,3 +2205,48 @@ _html_spark, _html_oracle = _md_html_roundtrip(
     " <attachment> end",
 )
 _df_query("html_roundtrip_text", _html_spark, _html_oracle)
+
+
+def _csv_txt_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TXT + CSV parsing under one oracle gate: the txt processor
+    must be identity on the (already-normalized) corpus text, and the csv
+    processor (pandas read_csv + to_string) renders a doc_id-derived
+    numeric column with the same deterministic lpad shape as the xlsx
+    twin."""
+    from .sources.registry import parse_csv, parse_txt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t_txt, _ = parse_txt(f"mem://{d}.txt", txt.encode())
+                csv = f"values\n{d}\n{d * 7 % 1000}\n{d % 97}\n".encode()
+                t_csv, _ = parse_csv(f"mem://{d}.csv", csv)
+                out.append({"doc_id": str(d), "txt_text": t_txt,
+                            "csv_text": t_csv})
+            yield pd.DataFrame(out, columns=["doc_id", "txt_text", "csv_text"])
+
+    return docs.mapInPandas(
+        run, "doc_id string, txt_text string, csv_text string"
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "txt_text", "csv_text")
+
+
+def _csv_txt_roundtrip_duck() -> str:
+    v = lambda e: f"lpad(CAST({e} AS VARCHAR), 7, ' ')"  # noqa: E731
+    return f"""
+SELECT doc_id, text AS txt_text,
+       lpad('values', 7, ' ') || chr(10) ||
+       {v('doc_id')} || chr(10) ||
+       {v('doc_id * 7 % 1000')} || chr(10) ||
+       {v('doc_id % 97')} AS csv_text
+FROM documents
+"""
+
+
+_df_query("csv_txt_roundtrip_text", _csv_txt_roundtrip_spark,
+          _csv_txt_roundtrip_duck())
