@@ -18,12 +18,14 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="parquet path of documents(doc_id, spans)")
+    ap.add_argument("--input", help="parquet path of documents(doc_id, spans)")
     ap.add_argument("--warehouse", required=True, help="output warehouse directory")
     ap.add_argument("--generate", type=int, default=0,
                     help="instead of --input, generate N synthetic docs (seed 42)")
     ap.add_argument("--buckets", type=int, default=32)
     args = ap.parse_args()
+    if not args.input and not args.generate:
+        ap.error("one of --input or --generate is required")
 
     from mmore_spark.plans.pipeline import KGPipeline
     from mmore_spark.session import get_spark
