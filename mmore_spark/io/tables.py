@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -45,11 +46,16 @@ def _recover_upsert(path: str) -> None:
     the updates.)  Only when tmp is absent or incomplete do we restore the
     old snapshot — and then strip its completion marker so the stage is
     re-run rather than trusted."""
-    import shutil
-
     old = path.rstrip("/") + ".__upsert_old"
     tmp = path.rstrip("/") + ".__upsert_tmp"
-    if os.path.exists(path) or not os.path.isdir(old):
+    if os.path.exists(path):
+        # a crash between `tmp → path` and the final rmtree leaves a stale
+        # pre-upsert snapshot doubling storage; drop it.  tmp is NOT
+        # removed here — it legitimately coexists with path while a
+        # concurrent upsert is mid-write.
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    if not os.path.isdir(old):
         return
     if os.path.isdir(tmp) and os.path.exists(_marker(tmp)):
         os.rename(tmp, path)

@@ -138,7 +138,11 @@ def unigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     # persist the narrow (doc_id, w, c) aggregate: freq, total and the probe
     # all hang off it — without the cache the plan re-scans the full text
     # column three times (CacheManager dedups identical plans, so repeated
-    # calls reuse one entry; spills to disk above memory)
+    # calls over the same input reuse one entry; spills to disk above
+    # memory).  The entry lives until session end BY DESIGN — unpersisting
+    # before the caller's action would force the triple scan back; a
+    # long-lived driver scoring many distinct corpora should
+    # `spark.catalog.clearCache()` between them.
     docw = words.groupBy("doc_id", "w").agg(F.count("*").alias("c")).persist()
     freq = docw.groupBy("w").agg(F.sum("c").alias("n"))
     total = freq.agg(F.sum("n").alias("tot"))

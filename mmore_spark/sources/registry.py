@@ -347,7 +347,9 @@ def _pdf_literal(data: bytes, i: int) -> tuple[str, int]:
             if nxt in esc:
                 out += esc[nxt]
                 i += 2
-            elif nxt in "01234567":  # octal only: \8 \9 fall through (spec: drop backslash)
+            # `nxt and`: a truncated literal ending in a lone backslash has
+            # nxt == '' and `'' in "..."` is True — would reach int('', 8)
+            elif nxt and nxt in "01234567":  # octal only: \8 \9 fall through
                 oct_s = ""
                 j = i + 1
                 while j < len(data) and len(oct_s) < 3 and data[j:j + 1] in b"01234567":

@@ -19,16 +19,19 @@ processing-time trigger.
 
 Exactly-once contract (ADVICE r02): foreachBatch replays a batch whose
 sink raised or whose process died, always under the SAME batch_id.  The
-sink therefore keeps two tiny marker sets next to the output:
+sink therefore keeps two tiny marker sets INSIDE the checkpoint directory
+(batch ids are only meaningful relative to one checkpoint — storing them
+with the output would let a checkpoint reset against an existing output
+hit a stale commit marker and silently drop a genuinely new batch):
 
-  * ``_ingest_commits/<batch_id>`` — written only after BOTH the triples
-    append and the seen-ids append landed.  A replay of a committed
-    batch is a no-op.
-  * ``_ingest_attempts/<batch_id>`` — written before any data write.  A
-    replay of an attempted-but-uncommitted batch may have half-landed
-    (triples appended, seen-ids not), so ONLY those replays pay an extra
-    anti-join against the output table's own doc_ids; the normal path
-    never scans the output.
+  * ``<checkpoint>/_ingest_commits/<batch_id>`` — written only after BOTH
+    the triples append and the seen-ids append landed.  A replay of a
+    committed batch is a no-op.
+  * ``<checkpoint>/_ingest_attempts/<batch_id>`` — written before any
+    data write.  A replay of an attempted-but-uncommitted batch may have
+    half-landed (triples appended, seen-ids not), so ONLY those replays
+    pay an extra anti-join against the output table's own doc_ids; the
+    normal path never scans the output.
 """
 
 from __future__ import annotations
@@ -48,21 +51,45 @@ from ..operators import extract
 # make drain N pay an N-file listing (VERDICT r02 #2).
 SEEN_COMPACT_MAX_FILES = 16
 
+# Keep at most this many attempt/commit marker files; older batch ids are
+# final (the checkpoint never replays a batch once a LATER batch committed),
+# so pruning them is safe and keeps the marker dirs O(1) over 10^6 drains.
+MARKER_KEEP = 128
 
-def _seen_has_data(seen_dir: str) -> bool:
-    return os.path.isdir(seen_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(seen_dir)
+
+def _prune_markers(dir_path: str, keep: int = MARKER_KEEP) -> None:
+    if not os.path.isdir(dir_path):
+        return
+    names = [n for n in os.listdir(dir_path) if n.isdigit()]
+    if len(names) <= keep:
+        return
+    for n in sorted(names, key=int)[:-keep]:
+        try:
+            os.remove(os.path.join(dir_path, n))
+        except FileNotFoundError:
+            pass
+
+
+def _has_parquet(d: str) -> bool:
+    return os.path.isdir(d) and any(
+        f.endswith(".parquet") for f in os.listdir(d)
     )
 
 
 def _recover_seen(seen_dir: str) -> None:
     """Heal a crash inside _compact_seen's directory swap: roll forward to
-    the complete compacted snapshot if it exists, else restore the old
-    directory.  Without this, a crash window would leave no _seen_ids and
-    the next drain's dedup anti-join would silently pass everything."""
+    the complete compacted snapshot (tmp with Spark's _SUCCESS marker) if
+    it exists, else restore the old directory.  Without this, a crash
+    window would leave no _seen_ids and the next drain's dedup anti-join
+    would silently pass everything."""
     tmp = seen_dir.rstrip("/") + ".__compact_tmp"
     old = seen_dir.rstrip("/") + ".__compact_old"
     if os.path.isdir(seen_dir):
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)  # compaction is sink-serial
+        return
+    if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, seen_dir)  # roll forward: keep the finished work
         shutil.rmtree(old, ignore_errors=True)
         return
     if os.path.isdir(old):
@@ -124,8 +151,11 @@ def stream_extract_triples(spark: SparkSession, staging_dir: str,
     # output is huge but the id set stays a thin fraction of it.
     # Underscore prefix → ignored by Spark when reading output_dir itself.
     seen_dir = os.path.join(output_dir, "_seen_ids")
-    commits_dir = os.path.join(output_dir, "_ingest_commits")
-    attempts_dir = os.path.join(output_dir, "_ingest_attempts")
+    # markers live WITH the checkpoint that defines their batch ids — a
+    # checkpoint reset must reset them too (content dedup is still covered
+    # by the checkpoint-independent _seen_ids anti-join)
+    commits_dir = os.path.join(checkpoint_dir, "_ingest_commits")
+    attempts_dir = os.path.join(checkpoint_dir, "_ingest_attempts")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         counters["batches"] += 1
@@ -162,13 +192,11 @@ def stream_extract_triples(spark: SparkSession, staging_dir: str,
             )
             counters["rows_in"] += triples.count()
             spark_b = batch_df.sparkSession
-            if _seen_has_data(seen_dir):
+            if _has_parquet(seen_dir):
                 seen = spark_b.read.parquet(seen_dir).distinct()
                 triples = triples.join(seen, "doc_id", "left_anti")
             to_write = triples
-            if suspect_replay and os.path.isdir(output_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(output_dir)
-            ):
+            if suspect_replay and _has_parquet(output_dir):
                 written_ids = spark_b.read.parquet(output_dir).select("doc_id").distinct()
                 to_write = triples.join(written_ids, "doc_id", "left_anti")
             n = to_write.count()
@@ -185,6 +213,8 @@ def stream_extract_triples(spark: SparkSession, staging_dir: str,
             _compact_seen(spark_b, seen_dir)
             with open(commit_file, "w") as f:
                 json.dump({"batch_id": batch_id, "rows_written": n}, f)
+            _prune_markers(commits_dir)
+            _prune_markers(attempts_dir)
         finally:
             batch_df.unpersist()
 

@@ -27,13 +27,19 @@ from mmore_spark.operators.agg import merge_entities_global  # noqa: E402
 from mmore_spark.session import get_spark  # noqa: E402
 
 
-UI_PORT = 4049  # the engine disables the UI by default; this script needs it
+UI_PORT = 4049  # requested port; Spark may bind higher on conflict
+
+
+def _api_base(sc) -> str:
+    """REST base from the ACTUAL bound UI address (spark.port.maxRetries
+    silently moves the UI if the requested port is taken)."""
+    ui = sc.uiWebUrl  # e.g. http://host:4049
+    return f"{ui}/api/v1/applications/{sc.applicationId}/stages"
 
 
 def _stages(sc, from_stage: int) -> list[dict]:
     """Completed stages since `from_stage` with task-runtime quantiles."""
-    base = (f"http://localhost:{UI_PORT}/api/v1/applications/"
-            f"{sc.applicationId}/stages")
+    base = _api_base(sc)
     stages = json.load(urllib.request.urlopen(base))
     out = []
     for s in stages:
@@ -60,6 +66,9 @@ def _reducer_stage(stats: list[dict]) -> dict:
     """The stage with the largest max−median task-time spread = the
     (possibly skewed) reduce stage of the plan just executed.  (Largest
     absolute max would pick the uniform 32-task scan stage.)"""
+    if not stats:  # REST lag: don't lose the measurement after the run
+        return {"tasks": 0, "task_ms_median": 0.0, "task_ms_p95": 0.0,
+                "task_ms_max": 0.0}
     return max(stats, key=lambda s: s["task_ms_max"] - s["task_ms_median"])
 
 
@@ -111,9 +120,8 @@ def main() -> int:
             .alias("descriptions"))),
         ("salted", lambda: merge_entities_global(mentions, n_salts=16)),
     ):
-        from_stage = max((s["stageId"] for s in json.load(urllib.request.urlopen(
-            f"http://localhost:{UI_PORT}/api/v1/applications/"
-            f"{sc.applicationId}/stages"))), default=-1) + 1
+        from_stage = max((s["stageId"] for s in json.load(
+            urllib.request.urlopen(_api_base(sc)))), default=-1) + 1
         t0 = time.time()
         out = plan()
         # noop sink: materializes EVERY column — a bare count() would let

@@ -296,6 +296,13 @@ def test_pdf_literal_non_octal_and_unknown_escapes():
     s, i = registry._pdf_literal(data, 0)
     assert s == "a8b9cAde"
     assert i == len(data)
+    # truncated literal ending in a lone backslash must not crash
+    # (`'' in '01234567'` is True — the empty lookahead reached int('', 8))
+    s2, _ = registry._pdf_literal(b"(abc\\", 0)
+    assert s2 == "abc"
+
+
+def test_parse_pdf_unsupported_raises():
     import pytest
 
     with pytest.raises(NotImplementedError):

@@ -155,6 +155,41 @@ def test_stream_replay_after_partial_commit_is_exactly_once(spark, tmp_path,
     assert final2.select("doc_id", "subj", "obj").distinct().count() == final2.count()
 
 
+def test_stream_checkpoint_reset_does_not_drop_new_data(spark, tmp_path):
+    """Markers are keyed by batch_id, which is only meaningful relative to
+    one checkpoint: after an operator deletes the checkpoint but keeps the
+    output, the fresh run's batch 0 must NOT hit a stale commit marker and
+    no-op (markers live inside the checkpoint dir) — new docs flow, old
+    docs still dedup via the checkpoint-independent _seen_ids."""
+    import shutil
+
+    staging = str(tmp_path / "staging6")
+    out = str(tmp_path / "out6")
+    ckpt = str(tmp_path / "ckpt6")
+    os.makedirs(staging)
+    generate_documents(spark, 20, seed=3).write.mode("append").parquet(staging)
+    c1 = stream_extract_triples(spark, staging, out, ckpt)
+    assert c1["rows_written"] > 0
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    ids1 = {r["doc_id"] for r in first.select("doc_id").distinct().collect()}
+
+    shutil.rmtree(ckpt)  # checkpoint reset; output kept
+    generate_documents(spark, 30, seed=3).write.mode("append").parquet(staging)
+    c2 = stream_extract_triples(spark, staging, out, ckpt)
+    # the genuinely new docs were written; the 20 re-read ones deduped
+    assert c2["rows_written"] > 0
+    spark.catalog.refreshByPath(out)
+    final = spark.read.parquet(out)
+    assert final.count() == n1 + c2["rows_written"]
+    assert final.select("doc_id", "subj", "obj").distinct().count() == final.count()
+    ids2 = {r["doc_id"] for r in final.select("doc_id").distinct().collect()}
+    new_ids = ids2 - ids1
+    # only docs 20..29 are new (not every doc yields triples, so compare
+    # id ranges, not counts; ids are fixed-width 'doc-00000020' strings)
+    assert new_ids and all(d >= "doc-00000020" for d in new_ids)
+
+
 def test_stream_seen_ids_file_count_bounded(spark, tmp_path):
     """_seen_ids must not grow one file per drain forever: after many
     drains the compactor folds it back under the threshold (VERDICT r02)."""
