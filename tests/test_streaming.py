@@ -215,6 +215,30 @@ def test_stream_seen_ids_file_count_bounded(spark, tmp_path):
     assert c["rows_written"] == 0
 
 
+def test_recover_seen_rolls_forward_to_completed_compaction(spark, tmp_path):
+    """Crash between _compact_seen's two renames: the finished compacted
+    snapshot (with Spark's _SUCCESS) must be rolled forward, not thrown
+    away; without any recovery the dedup anti-join would pass everything."""
+    from mmore_spark.streaming.ingest import _recover_seen
+
+    seen = str(tmp_path / "out7" / "_seen_ids")
+    ids = spark.createDataFrame([("d1",), ("d2",), ("d1",)], ["doc_id"])
+    ids.write.parquet(seen)
+    # simulate: compaction wrote tmp (complete), renamed seen away, crashed
+    spark.read.parquet(seen).distinct().coalesce(1).write.parquet(
+        seen + ".__compact_tmp")
+    import shutil
+
+    shutil.move(seen, seen + ".__compact_old")
+    assert not os.path.isdir(seen)
+    _recover_seen(seen)
+    assert os.path.isdir(seen)
+    assert not os.path.isdir(seen + ".__compact_tmp")
+    assert not os.path.isdir(seen + ".__compact_old")
+    spark.catalog.refreshByPath(seen)
+    assert spark.read.parquet(seen).distinct().count() == 2  # rolled forward
+
+
 def test_stream_dedup_within_batch(spark, tmp_path):
     """Two staged files carrying the SAME doc_ids drained in one micro-batch
     must still write each doc's triples once (ADVICE r01: the anti-join

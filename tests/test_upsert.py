@@ -53,6 +53,20 @@ def test_upsert_crash_rolls_forward_to_completed_tmp(spark, tmp_path):
     assert not os.path.exists(path + ".__upsert_tmp")
 
 
+def test_upsert_stale_old_cleaned_when_table_intact(spark, tmp_path):
+    """Crash AFTER the tmp→path swap but before the final rmtree leaves a
+    stale pre-upsert snapshot doubling storage; any read heals it."""
+    path = str(tmp_path / "t5")
+    base = spark.createDataFrame([("a", 2)], "doc_id string, v int")
+    tables.upsert_table(spark, path, base)
+    stale = spark.createDataFrame([("a", 1)], "doc_id string, v int")
+    tables.write_table(stale, path + ".__upsert_old", stage="stale")
+    assert tables.is_complete(path)
+    assert not os.path.exists(path + ".__upsert_old")  # cleaned
+    got = {r["doc_id"]: r["v"] for r in tables.read_table(spark, path).collect()}
+    assert got == {"a": 2}  # the intact table untouched
+
+
 def test_upsert_crash_without_tmp_restores_old_and_surfaces(spark, tmp_path):
     """Fallback (tmp absent/partial): restore the pre-upsert snapshot but
     STRIP its completion marker, so the resume rule re-runs the stage
