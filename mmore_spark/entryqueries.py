@@ -2250,3 +2250,73 @@ FROM documents
 
 _df_query("csv_txt_roundtrip_text", _csv_txt_roundtrip_spark,
           _csv_txt_roundtrip_duck())
+
+
+def _media_container_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 + MP4 container parsing under the oracle gate: synthesize
+    a CBR MPEG-1 Layer III stream (doc_id-derived frame count, behind an
+    ID3v2 tag) and an ISO-BMFF file (doc_id-derived mvhd duration), parse
+    both with the REAL stdlib container walkers
+    (operators/multimodal.decode_mp3_meta / decode_mp4_meta), and report
+    the integers the oracle computes from doc_id in closed form."""
+    from .operators.multimodal import decode_mp3_meta, decode_mp4_meta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def run(batches):
+        import struct
+
+        import pandas as pd
+
+        frame = b"\xff\xfb\xa4\xc0" + b"\x00" * 476  # 160kbps 48kHz mono
+
+        def mp4_bytes(timescale, duration):
+            def box(t, body):
+                return struct.pack(">I", 8 + len(body)) + t + body
+
+            mvhd = box(b"mvhd", bytes(4) + bytes(8)
+                       + struct.pack(">I", timescale)
+                       + struct.pack(">I", duration) + bytes(80))
+            return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", mvhd)
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 3 + d % 40
+                id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 24]) + b"\x00" * 24
+                mp3 = decode_mp3_meta(id3 + frame * n)
+                mp4 = decode_mp4_meta(mp4_bytes(600, 1000 + d % 997))
+                out.append({
+                    "doc_id": str(d),
+                    "mp3_frames": mp3["n_frames"],
+                    "mp3_rate": mp3["sample_rate"],
+                    "mp3_bitrate": mp3["bitrate"],
+                    "mp4_timescale": mp4["timescale"],
+                    "mp4_duration_units": mp4["duration_units"],
+                })
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "mp3_frames", "mp3_rate", "mp3_bitrate",
+                "mp4_timescale", "mp4_duration_units"])
+
+    return docs.mapInPandas(
+        run, "doc_id string, mp3_frames long, mp3_rate long, "
+             "mp3_bitrate long, mp4_timescale long, mp4_duration_units long"
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "mp3_frames",
+             "mp3_rate", "mp3_bitrate", "mp4_timescale", "mp4_duration_units")
+
+
+def _media_container_meta_duck() -> str:
+    return """
+SELECT doc_id,
+       CAST(3 + doc_id % 40 AS BIGINT) AS mp3_frames,
+       CAST(48000 AS BIGINT) AS mp3_rate,
+       CAST(160000 AS BIGINT) AS mp3_bitrate,
+       CAST(600 AS BIGINT) AS mp4_timescale,
+       CAST(1000 + doc_id % 997 AS BIGINT) AS mp4_duration_units
+FROM documents
+"""
+
+
+_df_query("media_container_meta", _media_container_meta_spark,
+          _media_container_meta_duck())

@@ -113,6 +113,102 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+# MPEG-1 Layer III bitrate table (kbps), ISO/IEC 11172-3 — container
+# metadata only; no audio decoding
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def decode_mp3_meta(payload: bytes) -> dict:
+    """REAL MP3 container metadata with the stdlib (frame-header walk,
+    ISO/IEC 11172-3): duration, bitrate, sample rate, channel count and
+    frame count — the sample metadata the reference's media path carries.
+    Audio DECODING (and Whisper ASR) still needs absent libraries; this
+    parses only the public container structure.  MPEG-1 Layer III only;
+    anything else raises per file."""
+    i = 0
+    if payload[:3] == b"ID3":  # skip ID3v2: syncsafe 28-bit size
+        size = ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+                | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        i = 10 + size
+    n = len(payload)
+    frames = 0
+    first = None
+    while i + 4 <= n:
+        b0, b1, b2 = payload[i], payload[i + 1], payload[i + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if frames:  # trailing junk after a valid frame run: stop
+                break
+            i += 1  # scan for the first sync word
+            continue
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version != 0x3 or layer != 0x1:  # MPEG-1 Layer III only
+            raise NotImplementedError("mp3: only MPEG-1 Layer III headers")
+        bitrate = _MP3_BITRATES[(b2 >> 4) & 0xF] * 1000
+        rate_idx = (b2 >> 2) & 0x3
+        if not bitrate or rate_idx == 3:
+            raise NotImplementedError("mp3: free-format/invalid header")
+        rate = _MP3_RATES[rate_idx]
+        padding = (b2 >> 1) & 0x1
+        if first is None:
+            mode = (payload[i + 3] >> 6) & 0x3
+            first = {"bitrate": bitrate, "sample_rate": rate,
+                     "channels": 1 if mode == 3 else 2}
+        frame_len = 144 * bitrate // rate + padding
+        if frame_len <= 4:
+            break
+        frames += 1
+        i += frame_len
+    if not frames or first is None:
+        raise NotImplementedError("mp3: no valid MPEG frames found")
+    return {**first, "n_frames": frames,
+            "duration_s": frames * 1152 / first["sample_rate"]}
+
+
+def decode_mp4_meta(payload: bytes) -> dict:
+    """REAL MP4/ISO-BMFF container metadata with the stdlib (box walk,
+    ISO/IEC 14496-12): movie timescale + duration from the ``moov/mvhd``
+    box.  Pixels/samples are never decoded."""
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size, = struct.unpack(">I", buf[i:i + 4])
+            btype = buf[i + 4:i + 8]
+            if size == 1:  # 64-bit largesize
+                size, = struct.unpack(">Q", buf[i + 8:i + 16])
+                body = i + 16
+            elif size == 0:  # to end of enclosing box
+                size = end - i
+                body = i + 8
+            else:
+                body = i + 8
+            if size < 8 or i + size > end:
+                break
+            yield btype, body, i + size
+            i += size
+
+    for btype, body, bend in walk(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, _cend in walk(payload, body, bend):
+            if ctype != b"mvhd":
+                continue
+            version = payload[cbody]
+            if version == 1:
+                timescale, = struct.unpack(">I", payload[cbody + 20:cbody + 24])
+                duration, = struct.unpack(">Q", payload[cbody + 24:cbody + 32])
+            else:
+                timescale, = struct.unpack(">I", payload[cbody + 12:cbody + 16])
+                duration, = struct.unpack(">I", payload[cbody + 16:cbody + 20])
+            return {"timescale": timescale, "duration_units": duration,
+                    "duration_s": duration / timescale if timescale else 0.0}
+    raise NotImplementedError("mp4: no moov/mvhd box found")
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
     T.StructField("media_ref", T.StringType()),

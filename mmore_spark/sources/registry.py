@@ -9,12 +9,14 @@ Spark mapping: files arrive as a ``binaryFile`` scan (path, content);
 routing is a NATIVE derived ``format`` column (extension → processor
 name — the whole dispatch table is one ``element_at(map, ext)``
 expression); each format's parser is an Arrow-batched function applied
-per format partition.  txt/md/html parse for real; eml uses stdlib
-``email``; xlsx/docx/pptx are stdlib zipfile+ElementTree OOXML parsers
-matching the reference's output shapes; csv/tsv go through pandas.  Only
-pdf and media decoding need libraries absent from this container — those
-are registered as stubs that raise NotImplementedError per file, so the
-routing plan and the Arrow plumbing stay fully exercised.
+per format partition.  Every registered format parses for REAL with the
+stdlib: txt/md/html directly; eml via ``email``; xlsx/docx/pptx via
+zipfile+ElementTree OOXML; csv/tsv via pandas; pdf via a content-stream
+tokenizer (FlateDecode text + image XObjects); wav/mp3/mp4 via container
+parsing (PCM decode, MPEG frame headers, ISO-BMFF boxes).  Only media
+SAMPLE decoding (pixels / audio frames / ASR transcripts) needs absent
+codec libraries — per-file NotImplementedError from the container
+validators keeps failures isolated in the ``error`` column.
 
 The parsed output is the mmore text+modalities contract: text with
 ``<attachment>`` placeholders + ordered media refs → spans.
@@ -530,15 +532,25 @@ def parse_wav(path: str, payload: bytes) -> tuple[str, list]:
     return ATTACHMENT_TAG, [("audio", path)]
 
 
-def _stub(kind: str) -> Parser:
-    def parser(path: str, payload: bytes):
-        raise NotImplementedError(
-            f"{kind} parsing requires libraries absent from this container "
-            f"(reference: {kind}_processor); register a real parser via "
-            f"REGISTRY[...]."
-        )
+def parse_mp3(path: str, payload: bytes) -> tuple[str, list]:
+    """Media processor, MP3 branch: REAL stdlib frame-header walk
+    (operators/multimodal.decode_mp3_meta — duration/bitrate/rate/
+    channels); decoding + ASR (the reference's Whisper transcript) still
+    needs absent libraries, so text is the attachment placeholder."""
+    from ..operators.multimodal import decode_mp3_meta
 
-    return parser
+    decode_mp3_meta(payload)  # validates the container; raises per file
+    return ATTACHMENT_TAG, [("audio", path)]
+
+
+def parse_mp4(path: str, payload: bytes) -> tuple[str, list]:
+    """Media processor, MP4 branch: REAL stdlib ISO-BMFF box walk
+    (operators/multimodal.decode_mp4_meta — moov/mvhd timescale +
+    duration); frame decoding still needs absent codecs."""
+    from ..operators.multimodal import decode_mp4_meta
+
+    decode_mp4_meta(payload)  # validates the container; raises per file
+    return ATTACHMENT_TAG, [("video", path)]
 
 
 # extension → (processor name, parser).  Order/shape mirrors the reference
@@ -556,8 +568,8 @@ REGISTRY: dict[str, tuple[str, Parser]] = {
     "tsv": ("SpreadsheetProcessor", parse_csv),
     "eml": ("EMLProcessor", parse_eml),
     "wav": ("MediaProcessor", parse_wav),
-    "mp4": ("MediaProcessor", _stub("media")),
-    "mp3": ("MediaProcessor", _stub("media")),
+    "mp4": ("MediaProcessor", parse_mp4),
+    "mp3": ("MediaProcessor", parse_mp3),
 }
 
 PARSED_SCHEMA = T.StructType([

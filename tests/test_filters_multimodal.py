@@ -200,3 +200,74 @@ def test_wav_routes_through_registry(spark, tmp_path):
     assert ok["modalities"][0]["kind"] == "audio"
     assert rows["broken.wav"]["error"] is not None
     assert "NotImplementedError" in rows["song.mp3"]["error"]
+
+
+def _make_mp3(n_frames=3, with_id3=False):
+    """Minimal MPEG-1 Layer III CBR stream: 160 kbps, 48 kHz, mono —
+    frame length exactly 144*160000/48000 = 480 bytes, no padding."""
+    frame = b"\xff\xfb\xa4\xc0" + b"\x00" * 476
+    body = frame * n_frames
+    if with_id3:
+        tag_body = b"\x00" * 30
+        header = b"ID3\x04\x00\x00" + bytes(
+            [(len(tag_body) >> 21) & 0x7F, (len(tag_body) >> 14) & 0x7F,
+             (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F])
+        return header + tag_body + body
+    return body
+
+
+def _make_mp4(timescale=1000, duration=5400):
+    import struct
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    mvhd = box(b"mvhd", bytes(4) + bytes(8) + struct.pack(">I", timescale)
+               + struct.pack(">I", duration) + bytes(80))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", mvhd)
+
+
+def test_decode_mp3_meta_real_frame_walk():
+    m = MM.decode_mp3_meta(_make_mp3(n_frames=3))
+    assert m["n_frames"] == 3 and m["sample_rate"] == 48000
+    assert m["bitrate"] == 160000 and m["channels"] == 1
+    assert abs(m["duration_s"] - 3 * 1152 / 48000) < 1e-9
+    # ID3v2 tag skipped via the syncsafe size
+    m2 = MM.decode_mp3_meta(_make_mp3(n_frames=5, with_id3=True))
+    assert m2["n_frames"] == 5
+
+
+def test_decode_mp4_meta_box_walk():
+    m = MM.decode_mp4_meta(_make_mp4(timescale=600, duration=3000))
+    assert m["timescale"] == 600 and m["duration_units"] == 3000
+    assert m["duration_s"] == 5.0
+
+
+def test_media_container_rejects_junk():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_mp3_meta(b"not an mpeg stream at all")
+    with pytest.raises(NotImplementedError):
+        MM.decode_mp4_meta(b"\x00\x00\x00\x08ftypnothing here")
+
+
+def test_mp3_mp4_route_through_registry(spark, tmp_path):
+    """mp3/mp4 are REAL registry formats now (container metadata parsed;
+    sample decode still needs codecs): routed as MediaProcessor with
+    audio/video modalities; junk still fails per file."""
+    from mmore_spark.sources import registry
+
+    d = tmp_path / "media2"
+    os.makedirs(d)
+    (d / "song.mp3").write_bytes(_make_mp3())
+    (d / "clip.mp4").write_bytes(_make_mp4())
+    (d / "junk.mp3").write_bytes(b"ID3fakempeg")
+    parsed = registry.scan_and_parse(spark, str(d))
+    rows = {os.path.basename(r["file_path"]): r for r in parsed.collect()}
+    assert rows["song.mp3"]["error"] is None
+    assert rows["song.mp3"]["modalities"][0]["kind"] == "audio"
+    assert rows["clip.mp4"]["error"] is None
+    assert rows["clip.mp4"]["modalities"][0]["kind"] == "video"
+    assert rows["clip.mp4"]["text"] == registry.ATTACHMENT_TAG
+    assert "NotImplementedError" in rows["junk.mp3"]["error"]
