@@ -2320,3 +2320,56 @@ FROM documents
 
 _df_query("media_container_meta", _media_container_meta_spark,
           _media_container_meta_duck())
+
+
+def _image_container_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG + JPEG header parsing under the oracle gate (the width/
+    height feeding the reference's 512×512 size gate), doc_id-derived
+    dimensions recovered exactly."""
+    from .operators.multimodal import decode_image_meta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def run(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def png(w, h):
+            ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+            chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            return (b"\x89PNG\r\n\x1a\n" + chunk
+                    + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+
+        def jpeg(w, h):
+            sof0 = (struct.pack(">H", 11) + b"\x08"
+                    + struct.pack(">HH", h, w) + b"\x01")
+            return b"\xff\xd8\xff\xc0" + sof0
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                p = decode_image_meta(png(16 + d % 1000, 16 + d % 777))
+                j = decode_image_meta(jpeg(32 + d % 2000, 32 + d % 1111))
+                out.append({"doc_id": str(d),
+                            "png_w": p["width"], "png_h": p["height"],
+                            "jpg_w": j["width"], "jpg_h": j["height"]})
+            yield pd.DataFrame(out, columns=["doc_id", "png_w", "png_h",
+                                             "jpg_w", "jpg_h"])
+
+    return docs.mapInPandas(
+        run, "doc_id string, png_w long, png_h long, jpg_w long, jpg_h long"
+    ).select(F.col("doc_id").cast("long").alias("doc_id"),
+             "png_w", "png_h", "jpg_w", "jpg_h")
+
+
+_df_query("image_container_meta", _image_container_meta_spark, """
+SELECT doc_id,
+       CAST(16 + doc_id % 1000 AS BIGINT) AS png_w,
+       CAST(16 + doc_id % 777 AS BIGINT) AS png_h,
+       CAST(32 + doc_id % 2000 AS BIGINT) AS jpg_w,
+       CAST(32 + doc_id % 1111 AS BIGINT) AS jpg_h
+FROM documents
+""")

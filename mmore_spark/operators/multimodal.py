@@ -167,6 +167,38 @@ def decode_mp3_meta(payload: bytes) -> dict:
             "duration_s": frames * 1152 / first["sample_rate"]}
 
 
+def decode_image_meta(payload: bytes) -> dict:
+    """REAL image container metadata with the stdlib: PNG IHDR / JPEG
+    SOFn / GIF header give (format, width, height) without decoding a
+    single pixel — enough for the reference's 512×512 size gate
+    (process/utils.py:60-92).  Pixel statistics (the variance gate) still
+    need absent imaging libraries."""
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"format": "png", "width": w, "height": h}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": w, "height": h}
+    if payload[:2] == b"\xff\xd8":  # JPEG: scan markers for SOF0/1/2
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen, = struct.unpack(">H", payload[i + 2:i + 4])
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                return {"format": "jpeg", "width": w, "height": h}
+            i += 2 + seglen
+    raise NotImplementedError("image: unrecognized container (png/jpeg/gif)")
+
+
 def decode_mp4_meta(payload: bytes) -> dict:
     """REAL MP4/ISO-BMFF container metadata with the stdlib (box walk,
     ISO/IEC 14496-12): movie timescale + duration from the ``moov/mvhd``

@@ -271,3 +271,35 @@ def test_mp3_mp4_route_through_registry(spark, tmp_path):
     assert rows["clip.mp4"]["modalities"][0]["kind"] == "video"
     assert rows["clip.mp4"]["text"] == registry.ATTACHMENT_TAG
     assert "NotImplementedError" in rows["junk.mp3"]["error"]
+
+
+def _make_png(w=64, h=48):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _make_jpeg(w=640, h=480):
+    import struct
+
+    sof0 = struct.pack(">H", 8 + 3) + b"\x08" + struct.pack(">HH", h, w) + b"\x01"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    return b"\xff\xd8" + app0 + b"\xff\xc0" + sof0
+
+
+def test_decode_image_meta_headers():
+    p = MM.decode_image_meta(_make_png(513, 600))
+    assert p == {"format": "png", "width": 513, "height": 600}
+    j = MM.decode_image_meta(_make_jpeg(1024, 768))
+    assert j == {"format": "jpeg", "width": 1024, "height": 768}
+    g = MM.decode_image_meta(b"GIF89a" + (40).to_bytes(2, "little")
+                             + (30).to_bytes(2, "little"))
+    assert g == {"format": "gif", "width": 40, "height": 30}
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_meta(b"BM bitmap not supported")
