@@ -327,11 +327,57 @@ def image_quality_gate(features: DataFrame, min_side: int = 512,
                        min_variance: float = 100.0) -> DataFrame:
     """The reference's clean_image gate (process/utils.py:60-92): keep
     images ≥ min_side × min_side with grayscale variance ≥ min_variance.
-    Native comparisons — no Python."""
+    Native comparisons — no Python.  A NULL variance (real header-only
+    features — pixel statistics need absent imaging libs) passes the
+    variance clause: unknown is not evidence of low quality, and the size
+    gate still applies."""
     is_image = F.col("kind") == "image"
     passes = (
         (F.col("width") >= min_side)
         & (F.col("height") >= min_side)
-        & (F.col("variance") >= min_variance)
+        & (F.col("variance").isNull() | (F.col("variance") >= min_variance))
     )
     return features.withColumn("keep", ~is_image | passes)
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("variance", T.DoubleType()),  # needs pixels: always NULL here
+    T.StructField("error", T.StringType()),
+])
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, payload binary) → REAL header-derived image
+    features in ONE Arrow stage (decode_image_meta: PNG/JPEG/GIF, no
+    pixel decode); per-file failures isolate into ``error``.  Output is
+    image_quality_gate-compatible (variance NULL → size-only gating)."""
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"],
+                                            pdf["payload"]):
+                try:
+                    m = decode_image_meta(bytes(payload))
+                    rows.append({"doc_id": doc_id, "media_ref": ref,
+                                 "kind": "image", "format": m["format"],
+                                 "width": m["width"], "height": m["height"],
+                                 "variance": None, "error": None})
+                except Exception as e:
+                    rows.append({"doc_id": doc_id, "media_ref": ref,
+                                 "kind": "image", "format": None,
+                                 "width": None, "height": None,
+                                 "variance": None,
+                                 "error": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGE_FEATURES_SCHEMA.fields])
+
+    return df.select("doc_id", "media_ref", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA)

@@ -303,3 +303,24 @@ def test_decode_image_meta_headers():
 
     with pytest.raises(NotImplementedError):
         MM.decode_image_meta(b"BM bitmap not supported")
+
+
+def test_extract_image_features_and_size_gate(spark):
+    """REAL header-only image features drive the 512x512 size gate end to
+    end: big PNG passes, small JPEG rejected, junk isolates per file;
+    NULL variance (pixels undecodable without imaging libs) passes the
+    variance clause rather than silently dropping every image."""
+    rows = [
+        ("d1", "big.png", bytearray(_make_png(513, 600))),
+        ("d2", "small.jpg", bytearray(_make_jpeg(100, 80))),
+        ("d3", "junk.img", bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, media_ref string, payload binary")
+    feats = MM.extract_image_features(df)
+    got = {r["media_ref"]: r for r in feats.collect()}
+    assert got["big.png"]["width"] == 513 and got["big.png"]["error"] is None
+    assert got["small.jpg"]["format"] == "jpeg"
+    assert got["junk.img"]["error"] is not None
+    gated = MM.image_quality_gate(feats.filter(F.col("error").isNull()))
+    keep = {r["media_ref"]: r["keep"] for r in gated.collect()}
+    assert keep == {"big.png": True, "small.jpg": False}
