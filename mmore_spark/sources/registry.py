@@ -496,7 +496,16 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
         t = _pdf_text_from_content(raw).strip()
         if t:
             texts.append(t)
-    text = "\n".join(texts)
+    # pages join with the reference's pagination markers
+    # (pdf_processor.py:211-256, ``\n\n{page}----\n\n``) so the downstream
+    # pagination parse recovers per-page paragraph_starts; single-page
+    # documents stay marker-free
+    parts: list[str] = []
+    for pi, t in enumerate(texts):
+        if pi:
+            parts.append(f"\n\n{{{pi - 1}}}----\n\n")
+        parts.append(t)
+    text = "".join(parts)
     # map Do-draw sentinels to image modalities in reading order: the first
     # n_images sentinels become attachments (extra Do's are form XObjects —
     # dropped); images never drawn in content still surface, appended last

@@ -202,11 +202,28 @@ def _make_pdf() -> bytes:
 def test_parse_pdf():
     text, refs = registry.parse_pdf("/m/p.pdf", _make_pdf())
     assert refs == []
-    lines = text.split("\n")
+    # pages now join with the reference's pagination marker
+    pages = text.split("\n\n{0}----\n\n")
+    assert len(pages) == 2
+    lines = pages[0].split("\n")
     assert lines[0] == "Hello (nested (parens)) world."
     assert lines[1] == "Kerned pairs @"      # \100 octal = '@'; TJ concat
-    assert lines[2] == "Second page."        # FlateDecode path
-    assert lines[3] == "Hex!"                # hex string show
+    lines2 = pages[1].split("\n")
+    assert lines2[0] == "Second page."       # FlateDecode path
+    assert lines2[1] == "Hex!"               # hex string show
+
+
+def test_parse_pdf_feeds_pagination():
+    """The marker-joined pages flow into parse_pagination: per-page
+    paragraph_starts recovered, markers stripped from the clean text."""
+    from mmore_spark.operators.pagination import parse_pagination
+
+    text, _ = registry.parse_pdf("/m/p.pdf", _make_pdf())
+    starts, clean = parse_pagination(text)
+    assert "----" not in clean
+    pages_seen = {pid for _off, pid, _para in starts if pid >= 0}
+    assert pages_seen == {0, 1}
+    assert starts[-1] == (len(clean), -1, -1)
 
 
 def test_parse_pdf_two_streams_no_duplication():
@@ -223,7 +240,7 @@ def test_parse_pdf_two_streams_no_duplication():
         + s2 + b"\nendstream\nendobj\n%%EOF\n"
     )
     text, refs = registry.parse_pdf("/m/two.pdf", body)
-    assert text == "Hello\nWorld"
+    assert text == "Hello\n\n{0}----\n\nWorld"  # two pages, ONE marker, no dup
 
 
 def test_parse_pdf_embedded_image_modalities():
