@@ -175,10 +175,16 @@ def _kg_triples_global_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.pmod(h60(F.col("doc_id")), F.lit(16)).alias("_salt"),
     )
+    # n_docs without materializing doc ids: the salt is a pure function of
+    # doc_id, so each doc's rows land in exactly ONE (s, o, _salt) bucket —
+    # summing per-bucket count_distinct(doc_id) over disjoint doc partitions
+    # IS the global count(DISTINCT doc_id), exactly.  (A per-pair
+    # collect_set(doc_id) would funnel a mega-hot pair's doc ids into one
+    # final reducer as an unbounded array just to take its size.)
     partial = salted.groupBy("s", "o", "_salt").agg(
         F.count("*").alias("_n"),
         F.collect_set("pred").alias("_p"),
-        F.collect_set("doc_id").alias("_d"),
+        F.count_distinct("doc_id").alias("_nd"),
     )
     return (
         partial.groupBy("s", "o")
@@ -186,8 +192,7 @@ def _kg_triples_global_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.array_sort(F.array_distinct(F.flatten(F.collect_list("_p")))))
             .alias("preds"),
             F.sum("_n").cast("double").alias("weight"),
-            F.size(F.array_distinct(F.flatten(F.collect_list("_d")))).cast("long")
-            .alias("n_docs"),
+            F.sum("_nd").cast("long").alias("n_docs"),
         )
         .select(F.col("s").alias("subj"), F.col("o").alias("obj"), "preds", "weight", "n_docs")
     )

@@ -179,7 +179,17 @@ def upsert_table(spark: SparkSession, path: str, updates: DataFrame,
     summary = write_table(merged, tmp, stage="upsert")
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except FileNotFoundError:
+        # A concurrent reader's _recover_upsert can win the race inside the
+        # two-rename window (path absent + complete tmp → it rolls tmp
+        # forward itself).  Our intended swap then already happened — verify
+        # the healed table is really in place before trusting it (ADVICE
+        # r03: without this, the reader's heal crashed the in-flight
+        # writer).
+        if not (os.path.isdir(path) and os.path.exists(_marker(path))):
+            raise
     shutil.rmtree(old, ignore_errors=True)
     spark.catalog.refreshByPath(path)
     summary["path"] = path

@@ -113,6 +113,14 @@ def filter_language(lang_col: str = "lang",
     return lambda df: F.col(lang_col).isin(*allowed)
 
 
+# Broadcast the unigram model only while the vocabulary is driver-safe.
+# 4M distinct tokens ≈ a few hundred MB hashed relation — far under Spark's
+# 8 GB broadcast hard limit with margin for long tokens; web-scale corpora
+# (typos / IDs / hex blobs push vocabularies into the billions) exceed it,
+# and there the shuffle join on ``w`` is the scale-safe plan (ADVICE r03).
+UNIGRAM_BROADCAST_MAX_VOCAB = 4_000_000
+
+
 def unigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """datatrove unigram-logprob quality signal
     (filter/datatrove_wrapper.py:27-40 family) with the model derived from
@@ -128,10 +136,14 @@ def unigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     intermediate in the engine and ``w`` is Zipf-hot ("the" is a mega-key),
     so the probe side is pre-aggregated to per-(doc_id, w) counts — shrinks
     it by the per-doc repetition factor and rides map-side combine — and
-    the vocabulary-sized ``freq`` is broadcast: no shuffle on ``w`` at all
-    (plan shows BroadcastHashJoin, never SortMergeJoin — see
-    docs/PLANS.md).  avg = sum(c·log10 p)/sum(c), identical to the
-    per-token mean.
+    the vocabulary-sized ``freq`` is broadcast WHEN the measured distinct
+    token count is under UNIGRAM_BROADCAST_MAX_VOCAB (plan shows
+    BroadcastHashJoin — see docs/PLANS.md); above it, the probe is already
+    per-(doc, w)-unique, so a shuffle join on ``w`` is near-uniform and
+    driver-safe (ADVICE r03: an unconditional broadcast of an unbounded
+    vocabulary would blow the 8 GB limit / OOM the driver at corpus scale).
+    The 1-row total is always broadcast.  avg = sum(c·log10 p)/sum(c),
+    identical to the per-token mean.
     """
     words = df.select("doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("w")) \
         .filter(F.length("w") > 0)
@@ -146,7 +158,11 @@ def unigram_logprob_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     docw = words.groupBy("doc_id", "w").agg(F.count("*").alias("c")).persist()
     freq = docw.groupBy("w").agg(F.sum("c").alias("n"))
     total = freq.agg(F.sum("n").alias("tot"))
-    scored = docw.join(F.broadcast(freq), "w").crossJoin(F.broadcast(total))
+    # size gate before broadcasting the model: one count over the persisted
+    # docw (this action also materializes the cache the later joins reuse)
+    vocab_n = freq.count()
+    model = F.broadcast(freq) if vocab_n <= UNIGRAM_BROADCAST_MAX_VOCAB else freq
+    scored = docw.join(model, "w").crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_words"),
         (F.sum(F.col("c") * F.log10(F.col("n") / F.col("tot"))) / F.sum("c"))

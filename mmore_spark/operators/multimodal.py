@@ -144,12 +144,20 @@ def decode_mp3_meta(payload: bytes) -> dict:
             continue
         version = (b1 >> 3) & 0x3
         layer = (b1 >> 1) & 0x3
-        if version != 0x3 or layer != 0x1:  # MPEG-1 Layer III only
-            raise NotImplementedError("mp3: only MPEG-1 Layer III headers")
         bitrate = _MP3_BITRATES[(b2 >> 4) & 0xF] * 1000
         rate_idx = (b2 >> 2) & 0x3
-        if not bitrate or rate_idx == 3:
-            raise NotImplementedError("mp3: free-format/invalid header")
+        if version != 0x3 or layer != 0x1 or not bitrate or rate_idx == 3:
+            # Sync-pattern bytes are common in non-frame data (APIC album
+            # art, ID3 tags with misreported sizes), so before the first
+            # valid frame a non-MPEG-1-L3 / free-format / invalid match is
+            # a FALSE sync: advance one byte and keep scanning (ADVICE
+            # r03).  After a valid run it's trailing junk: stop.  A file
+            # with no MPEG-1-L3 run at all (e.g. pure MPEG-2/2.5) still
+            # raises below — the documented decoder seam.
+            if frames:
+                break
+            i += 1
+            continue
         rate = _MP3_RATES[rate_idx]
         padding = (b2 >> 1) & 0x1
         if first is None:

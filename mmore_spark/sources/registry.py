@@ -440,6 +440,92 @@ def _pdf_text_from_content(content: bytes) -> str:
     return "".join(out)
 
 
+def _pdf_group_pages(payload: bytes,
+                     obj_headers: list[tuple[int, int, int]],
+                     extracted: list[tuple[int, int | None, str]]) -> list[str]:
+    """Group extracted content-stream texts into PAGES by resolving the
+    document's page tree — /Type /Catalog → /Pages /Kids → /Page, with
+    /Contents as a direct ref or an ARRAY of refs (PDF 32000-1 §7.7.3.3;
+    the reference's pdf_processor.py walks real pages, so a page with a
+    multi-stream /Contents array must stay ONE page, ADVICE r03).
+
+    Falls back to the historical stream≈page assumption when no page tree
+    is resolvable (page-object-free fragments, object-stream xref — the
+    synthesized round-trip corpus and CID seam land here).  Text-bearing
+    streams not referenced by any page (form XObjects, annotation
+    appearances) attach to the page of the nearest PRECEDING page-owned
+    stream, preserving reading order."""
+    import bisect
+
+    bodies: dict[int, bytes] = {}
+    obj_offset: dict[int, int] = {}
+    for off, num, hend in obj_headers:
+        end = payload.find(b"endobj", hend)
+        bodies.setdefault(num, payload[hend:end if end != -1 else len(payload)])
+        obj_offset.setdefault(num, off)
+
+    page_objs: dict[int, list[int]] = {}
+    root = None
+    for num, body in bodies.items():
+        if re.search(rb"/Type\s*/Page\b", body):
+            arr = re.search(rb"/Contents\s*\[([^\]]*)\]", body)
+            if arr:
+                refs = [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", arr.group(1))]
+            else:
+                one = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+                refs = [int(one.group(1))] if one else []
+            page_objs[num] = refs
+        elif root is None and re.search(rb"/Type\s*/Catalog\b", body):
+            mr = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", body)
+            if mr:
+                root = int(mr.group(1))
+
+    # page order: the /Kids tree when walkable, else file order
+    order: list[int] = []
+
+    def walk(num: int, depth: int, seen: set[int]) -> None:
+        if num in seen or depth > 64:
+            return
+        seen.add(num)
+        if num in page_objs:
+            order.append(num)
+            return
+        body = bodies.get(num)
+        if body is None:
+            return
+        mk = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
+        if mk:
+            for x in re.findall(rb"(\d+)\s+\d+\s+R", mk.group(1)):
+                walk(int(x), depth + 1, seen)
+
+    if root is not None:
+        walk(root, 0, set())
+    if not order:
+        order = sorted(page_objs, key=lambda n: obj_offset.get(n, 0))
+
+    owner: dict[int, int] = {}
+    for pi, pnum in enumerate(order):
+        for c in page_objs.get(pnum, []):
+            owner.setdefault(c, pi)
+    assigned = sorted((off, owner[num]) for off, num, _t in extracted
+                      if num in owner)
+    if not order or not assigned:
+        # no resolvable page tree (or none of its content refs match a
+        # text-bearing stream): historical one-stream≈one-page behavior
+        return [t for _off, _num, t in extracted]
+    page_texts: list[list[str]] = [[] for _ in order]
+    a_offs = [a for a, _pi in assigned]
+    for off, num, t in extracted:
+        if num in owner:
+            page_texts[owner[num]].append(t)
+        else:
+            k = bisect.bisect_right(a_offs, off) - 1
+            page_texts[assigned[k][1] if k >= 0 else assigned[0][1]].append(t)
+    # multiple /Contents streams of one page concatenate as a single
+    # logical stream (whitespace-separated per spec) — join with \n
+    return ["\n".join(ts) for ts in page_texts if ts]
+
+
 def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
     """Minimal PDF text extraction with stdlib only (the reference's
     pdf_processor.py:190-326 uses pymupdf/marker — absent here): decode
@@ -451,9 +537,18 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
     Covers simply-encoded text PDFs; CID/encrypted/other filters raise
     NotImplementedError per file (isolated by the Arrow stage's error
     column)."""
+    import bisect
     import zlib
 
-    texts: list[str] = []
+    # object map: (offset, objnum) per "N G obj" header — lets each content
+    # stream be attributed to its owning object so /Page /Contents can be
+    # resolved (ADVICE r03: one page commonly holds a /Contents ARRAY of
+    # several streams; a marker per stream split such pages)
+    obj_headers = [(m.start(), int(m.group(1)), m.end())
+                   for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b", payload)]
+    obj_offsets = [o for o, _n, _e in obj_headers]
+
+    extracted: list[tuple[int, int | None, str]] = []  # (offset, objnum, text)
     n_images = 0
     # (?<!end): 'endstream\n' contains 'stream\n' — matching it would open a
     # spurious window spanning into the next object and duplicate its text
@@ -495,7 +590,10 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
             continue  # neither text show nor XObject draw
         t = _pdf_text_from_content(raw).strip()
         if t:
-            texts.append(t)
+            k = bisect.bisect_right(obj_offsets, m.start()) - 1
+            objnum = obj_headers[k][1] if k >= 0 else None
+            extracted.append((m.start(), objnum, t))
+    texts = _pdf_group_pages(payload, obj_headers, extracted)
     # pages join with the reference's pagination markers
     # (pdf_processor.py:211-256, ``\n\n{page}----\n\n``) so the downstream
     # pagination parse recovers per-page paragraph_starts; single-page

@@ -52,13 +52,14 @@ def main() -> int:
     real_edges = edges.count()
     expected_components = n_nodes - real_edges  # forest: components = V - E
 
-    linking.LAST_TWOPHASE_ROUNDS = -1  # sentinel: proves twophase engaged
+    metrics: dict = {}
     t0 = time.time()
-    labels = linking.connected_components(nodes, edges, strategy="auto")
+    labels = linking.connected_components(nodes, edges, strategy="auto",
+                                          metrics=metrics)
     n_components = labels.select("component").distinct().count()
     wall = time.time() - t0
 
-    rounds = linking.LAST_TWOPHASE_ROUNDS
+    rounds = metrics.get("rounds", -1)  # -1: driver path (no star rounds)
     bound = int(math.log2(n_nodes)) + 2
     assert n_components == expected_components, (n_components, expected_components)
     if real_edges > linking.DRIVER_CC_MAX_EDGES:

@@ -94,6 +94,26 @@ def test_unigram_logprob_scores(spark):
     assert got[2]["avg_logprob"] < got[1]["avg_logprob"]
 
 
+def test_unigram_logprob_shuffle_fallback(spark, monkeypatch):
+    """ADVICE r03: above the vocabulary-size gate the model must NOT be
+    broadcast (an unbounded vocabulary would blow the 8 GB limit / OOM the
+    driver) — the shuffle join on w produces identical scores."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "common common common"), (2, "common rare")],
+        "doc_id long, text string")
+    monkeypatch.setattr(FL, "UNIGRAM_BROADCAST_MAX_VOCAB", 1)
+    out = FL.unigram_logprob_scores(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the 1-row total stays broadcast; the vocabulary-sized freq must not be
+    assert plan.count("ResolvedHint") <= 1
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_words"] == 3
+    expect2 = (math.log10(4 / 5) + math.log10(1 / 5)) / 2
+    assert abs(got[2]["avg_logprob"] - expect2) < 1e-9
+
+
 def test_media_features_and_gate(spark, small_docs_df):
     feats = MM.extract_media_features(small_docs_df)
     rows = feats.collect()
@@ -235,6 +255,24 @@ def test_decode_mp3_meta_real_frame_walk():
     # ID3v2 tag skipped via the syncsafe size
     m2 = MM.decode_mp3_meta(_make_mp3(n_frames=5, with_id3=True))
     assert m2["n_frames"] == 5
+
+
+def test_decode_mp3_false_sync_before_first_frame():
+    """ADVICE r03: 0xFFEx byte pairs are everywhere in non-frame data
+    (APIC album art, ID3 tags with misreported sizes).  Before the first
+    valid frame, a sync match that is not a valid MPEG-1 Layer III header
+    must be skipped as a FALSE sync, not raised on."""
+    # ID3 header misreports size 0 so the scan walks straight into tag
+    # bytes containing an MPEG-2 sync (0xFF 0xF3) and a free-format one
+    junk = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xf3\x40\x00" \
+        + b"\xff\xfb\x04\xc0" + b"\x00" * 7
+    m = MM.decode_mp3_meta(junk + _make_mp3(n_frames=4))
+    assert m["n_frames"] == 4 and m["sample_rate"] == 48000
+    # a file with NO valid MPEG-1-L3 run anywhere still raises (the seam)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_mp3_meta(b"\xff\xf3\x40\x00" * 100)
 
 
 def test_decode_mp4_meta_box_walk():

@@ -120,8 +120,10 @@ def test_twophase_cc_long_chain(spark):
     nodes = spark.createDataFrame([(n,) for n in names], ["name"])
     edges = spark.createDataFrame(
         [(names[i], names[i + 1]) for i in range(59)], ["name_a", "name_b"])
+    metrics: dict = {}
     two = {r["name"]: r["component"] for r in
-           linking.connected_components(nodes, edges, strategy="twophase").collect()}
+           linking.connected_components(nodes, edges, strategy="twophase",
+                                        metrics=metrics).collect()}
     drv = {r["name"]: r["component"] for r in
            linking.connected_components(nodes, edges, strategy="driver").collect()}
     assert two == drv
@@ -130,7 +132,20 @@ def test_twophase_cc_long_chain(spark):
     # (scripts/cc_scale.py asserts the same bound at 2.2M edges)
     import math
 
-    assert 1 <= linking.LAST_TWOPHASE_ROUNDS <= int(math.log2(60)) + 2
+    assert 1 <= metrics["rounds"] <= int(math.log2(60)) + 2
+
+
+def test_twophase_cc_zero_iterations_no_crash(spark):
+    """ADVICE r03: max_iterations < 1 on a non-empty edge set used to hit
+    an unbound `rounds` (NameError).  It must now degrade gracefully —
+    labels from the un-contracted star graph, rounds recorded as 0."""
+    nodes = spark.createDataFrame([("A",), ("B,",)], ["name"])
+    edges = spark.createDataFrame([("A", "B,")], ["name_a", "name_b"])
+    metrics: dict = {}
+    labels = linking.connected_components(
+        nodes, edges, max_iterations=0, strategy="twophase", metrics=metrics)
+    assert labels.count() == 2
+    assert metrics["rounds"] == 0
 
 
 def test_canonical_clusters_match_golden(spark, small_docs, small_docs_df):

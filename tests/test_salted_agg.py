@@ -39,6 +39,38 @@ def test_salted_merge_equals_plain(spark):
     assert hot[0] == 1000.0 and hot[2] == 1000
 
 
+def test_kg_triples_global_plan_no_docid_arrays(spark):
+    """VERDICT r03 #1: the bench query's n_docs must come from summed
+    per-salt-bucket count_distinct — a per-pair collect_set(doc_id) would
+    funnel a mega-hot pair's doc ids into ONE final reducer as an
+    unbounded array just to take its size."""
+    from mmore_spark import entryqueries as EQ
+
+    df = EQ.QUERIES["kg_triples_global"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_set(doc_id" not in plan
+    assert "collect_list(_d" not in plan and "collect_set(_d" not in plan
+
+
+def test_salted_distinct_doc_count_exact_with_repeats(spark):
+    """The exactness argument: the salt is a pure function of doc_id, so
+    per-bucket count_distinct(doc_id) sums to the global distinct count —
+    even when one doc hits the same pair through MULTIPLE rows (where a
+    plain sum of row counts would overcount)."""
+    from mmore_spark.hashing import h60
+
+    rows = [("doc-1", "A", "B"), ("doc-1", "A", "B"),  # repeat within doc
+            ("doc-2", "A", "B"), ("doc-3", "A", "B"),
+            ("doc-2", "C", "D")]
+    t = spark.createDataFrame(rows, "doc_id string, s string, o string")
+    salted = t.withColumn("_salt", F.pmod(h60(F.col("doc_id")), F.lit(16)))
+    got = {(r["s"], r["o"]): r["n_docs"] for r in
+           salted.groupBy("s", "o", "_salt")
+           .agg(F.count_distinct("doc_id").alias("_nd"))
+           .groupBy("s", "o").agg(F.sum("_nd").alias("n_docs")).collect()}
+    assert got == {("A", "B"): 3, ("C", "D"): 1}
+
+
 def test_salted_entities_equals_plain(spark):
     m = spark.createDataFrame(
         [(f"doc-{i}", "HOT" if i % 3 == 0 else f"N{i % 50}", "PERSON",

@@ -243,6 +243,37 @@ def test_parse_pdf_two_streams_no_duplication():
     assert text == "Hello\n\n{0}----\n\nWorld"  # two pages, ONE marker, no dup
 
 
+def test_parse_pdf_contents_array_one_page():
+    """ADVICE r03: a page whose /Contents is an ARRAY of streams must stay
+    ONE page — marker count follows the page tree, not the stream count.
+    Also exercises the /Kids walk ordering (page objects appear in the
+    file AFTER their content streams and out of tree order)."""
+    s1 = b"BT 72 720 Td (Alpha) Tj ET"
+    s2 = b"BT 72 700 Td (Beta) Tj ET"
+    s3 = b"BT 72 720 Td (Gamma) Tj ET"
+
+    def obj(num: int, body: bytes) -> bytes:
+        return b"%d 0 obj " % num + body + b" endobj\n"
+
+    def streamobj(num: int, data: bytes) -> bytes:
+        return (b"%d 0 obj << /Length %d >>\nstream\n" % (num, len(data))
+                + data + b"\nendstream\nendobj\n")
+
+    body = (
+        b"%PDF-1.4\n"
+        + streamobj(4, s1) + streamobj(5, s2) + streamobj(6, s3)
+        # page 2 listed in the file BEFORE page 1: /Kids order must win
+        + obj(3, b"<< /Type /Page /Parent 7 0 R /Contents 6 0 R >>")
+        + obj(2, b"<< /Type /Page /Parent 7 0 R /Contents [4 0 R 5 0 R] >>")
+        + obj(7, b"<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 2 >>")
+        + obj(1, b"<< /Type /Catalog /Pages 7 0 R >>")
+        + b"%%EOF\n"
+    )
+    text, refs = registry.parse_pdf("/m/arr.pdf", body)
+    assert refs == []
+    assert text == "Alpha\nBeta\n\n{0}----\n\nGamma"
+
+
 def test_parse_pdf_embedded_image_modalities():
     """VERDICT r02 #8: /Subtype /Image XObjects become <attachment>
     modalities (ref kept, pixels never decoded), positioned in reading
