@@ -2378,3 +2378,91 @@ SELECT doc_id,
        CAST(32 + doc_id % 1111 AS BIGINT) AS jpg_h
 FROM documents
 """)
+
+
+def _translate_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL translator stage under the oracle gate (translator/base.py:
+    87-125 semantics): inject an ``<attachment>`` tag mid-document, gate
+    half the corpus as already-English (doc_id parity — the reference's
+    language gate), and run operators/translator.translate_stage with the
+    deterministic fake model (word-reverse per inter-tag segment).  The
+    oracle re-derives the expected output in closed-form SQL: list_
+    transform over str_split segments — tag count, segment boundaries and
+    the original_text stash must all survive."""
+    from .operators.translator import translate_stage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    staged = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" <attachment> "), F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("en")).otherwise(F.lit("xx"))
+        .alias("lang"),
+    )
+    out = translate_stage(staged)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("text_tr"),
+        "original_text",
+        F.col("translated").cast("long").alias("translated"),
+    )
+
+
+_df_query("translate_roundtrip", _translate_roundtrip_spark, """
+WITH base AS (
+    SELECT doc_id, text || ' <attachment> ' || text AS t FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN t
+            ELSE array_to_string(
+                list_transform(str_split(t, '<attachment>'),
+                    s -> array_to_string(list_reverse(str_split(s, ' ')), ' ')),
+                '<attachment>')
+       END AS text_tr,
+       t AS original_text,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS translated
+FROM base
+""")
+
+
+def _clean_text_norm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_text tagger under the oracle gate (process/utils.py:28-57
+    approximation, operators/taggers.clean_text): dirty every document's
+    text deterministically — control bytes, tab runs, an email address and
+    a URL — and normalize with the REAL native column.  The oracle is an
+    independent DuckDB regexp chain applying the same contract (strip
+    control chars, collapse blanks, mask emails/urls, trim)."""
+    from .operators.taggers import clean_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(F.lit("\x01  "), F.col("text"),
+                 F.lit("\tmail doc"), F.col("doc_id").cast("string"),
+                 F.lit("@corpus.example.com \t see "),
+                 F.lit("https://corpus.example/d?id="),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" end\x02")).alias("text"),
+    )
+    return dirty.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        clean_text("text").alias("text_clean"),
+    )
+
+
+_df_query("clean_text_norm", _clean_text_norm_spark, r"""
+WITH dirty AS (
+    SELECT doc_id,
+           chr(1) || '  ' || text || chr(9) || 'mail doc' || doc_id ||
+           '@corpus.example.com ' || chr(9) || ' see ' ||
+           'https://corpus.example/d?id=' || doc_id || ' end' || chr(2) AS t
+    FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           t, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+           '[ \t]+', ' ', 'g'),
+           '\S+@\S+\.\S+', '<EMAIL>', 'g'),
+           'https?://\S+', '<URL>', 'g')) AS text_clean
+FROM dirty
+""")

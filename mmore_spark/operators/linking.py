@@ -224,14 +224,19 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         DIMENSION-scale (distinct entity names ≪ documents), so even a
         10^12-doc corpus rarely exceeds a few 10^7 names; one collect +
         one broadcast-able map replaces ~4 Spark jobs per iteration.
-      * ``distributed`` — min-label propagation loop with per-iteration
-        localCheckpoint (SURVEY.md §4 (c)); bounded by graph diameter.
       * ``twophase`` — alternating large-star/small-star rounds (Kiveris
         et al., "Connected Components in MapReduce and Beyond"):
         converges in O(log n) rounds regardless of diameter — the shape
         that survives chain-like graphs a label-propagation loop cannot.
       * ``auto`` (default) — driver path when the edge count is under
         DRIVER_CC_MAX_EDGES, else twophase.
+
+    A third strategy (min-label propagation) was retired in round 4: at
+    2.4M edges it merely TIED twophase on its best-case shape (diameter-2
+    stars: 21.6 s vs 21.8 s, local[32]) and its round count is the graph
+    diameter, so on chain-like graphs it loses unboundedly (twophase
+    labels a diameter-1023 chain in 10 rounds) — no niche where it wins
+    (VERDICT r03 #6; measurement in BENCH/BASELINE.md).
 
     All produce identical labels (min name-hash per component) — asserted
     by tests/test_linking.py.
@@ -255,7 +260,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             nodes, edges.select("name_a", "name_b").collect())
     if strategy == "twophase":
         return _connected_components_twophase(nodes, edges, max_iterations, metrics)
-    return _connected_components_distributed(nodes, edges, max_iterations)
+    raise ValueError(f"unknown connected-components strategy: {strategy!r}")
 
 
 def _connected_components_driver(nodes: DataFrame, edge_rows: list) -> DataFrame:
@@ -289,43 +294,6 @@ def _connected_components_driver(nodes: DataFrame, edge_rows: list) -> DataFrame
         all_names.join(F.broadcast(linked), "name", "left")
         .withColumn("component", F.coalesce(F.col("component"), h60(F.col("name"))))
     )
-
-
-def _connected_components_distributed(nodes: DataFrame, edges: DataFrame,
-                                      max_iterations: int = MAX_CC_ITERATIONS
-                                      ) -> DataFrame:
-    labels = nodes.select("name").distinct().withColumn("component", h60(F.col("name")))
-    sym = (
-        edges.select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
-        .union(edges.select(F.col("name_b").alias("src"), F.col("name_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    if sym.isEmpty():
-        return labels
-    labels = labels.localCheckpoint()
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("name", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("component").alias("n_min"))
-            .withColumnRenamed("src", "name")
-        )
-        updated = (
-            labels.join(neighbor_min, "name", "left")
-            .select(
-                "name",
-                F.least(F.col("component"), F.coalesce(F.col("n_min"), F.col("component")))
-                .alias("component"),
-                (F.coalesce(F.col("n_min"), F.col("component")) < F.col("component"))
-                .alias("changed"),
-            )
-        ).localCheckpoint()
-        n_changed = updated.filter("changed").count()
-        labels = updated.drop("changed")
-        if n_changed == 0:
-            break
-    return labels
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -46,10 +46,17 @@ from ..corpus.generator import DOCUMENTS_SCHEMA
 from ..functions.spans import render_text
 from ..operators import extract
 
-# Compact the _seen_ids side table once it fragments past this many files:
-# every micro-batch's anti-join lists the directory, so unbounded appends
-# make drain N pay an N-file listing (VERDICT r02 #2).
+# Compact the _seen_ids side table once the SMALL tier fragments past this
+# many files: every micro-batch's anti-join lists the directory, so
+# unbounded appends make drain N pay an N-file listing (VERDICT r02 #2).
 SEEN_COMPACT_MAX_FILES = 16
+
+# Files at or above this size are SEALED tiers: compaction never rewrites
+# them (VERDICT r03 #7 — the old full-snapshot rewrite re-churned every
+# seen id once per 16 drains; at 10^9 ids that is a full-table rewrite).
+# Per-compaction I/O is bounded by the small-tier bytes (< 16 batch
+# appends + at most one growing fold file), independent of history size.
+SEEN_TIER_BYTES = 64 * 1024 * 1024
 
 # Keep at most this many attempt/commit marker files; older batch ids are
 # final (the checkpoint never replays a batch once a LATER batch committed),
@@ -106,24 +113,45 @@ def _append_seen(triples: DataFrame, seen_dir: str) -> None:
 
 
 def _compact_seen(spark: SparkSession, seen_dir: str,
-                  max_files: int = SEEN_COMPACT_MAX_FILES) -> None:
-    """Rewrite _seen_ids as a single distinct snapshot once it fragments.
-    The swap is two renames; _recover_seen heals a crash between them.
-    (At 10^12-doc scale the snapshot is repartitioned by byte budget; the
-    id set is a thin column so a handful of files suffices here.)"""
+                  max_files: int = SEEN_COMPACT_MAX_FILES,
+                  tier_bytes: int = SEEN_TIER_BYTES) -> None:
+    """Size-tiered compaction: fold ONLY the small tier (per-batch append
+    files + the current fold file) into one new file; sealed tiers — files
+    at or above ``tier_bytes`` — are never rewritten, so per-compaction
+    I/O stays bounded by ~16 batch appends regardless of how many ids
+    history holds (VERDICT r03 #7).
+
+    Crash safety needs no directory swap: _seen_ids has SET semantics
+    (every reader applies ``.distinct()``), so the fold lands its output
+    file FIRST and retires the source files SECOND — a crash between the
+    two leaves a duplicate superset, which is semantically identical,
+    never a loss.  (_recover_seen remains to heal swaps from the legacy
+    full-snapshot scheme found in pre-existing checkpoints.)"""
     if not os.path.isdir(seen_dir):
         return
-    files = [f for f in os.listdir(seen_dir) if f.endswith(".parquet")]
-    if len(files) <= max_files:
+    sizes = {f: os.path.getsize(os.path.join(seen_dir, f))
+             for f in os.listdir(seen_dir) if f.endswith(".parquet")}
+    small = [f for f, sz in sizes.items() if sz < tier_bytes]
+    if len(small) <= max_files:
         return
     tmp = seen_dir.rstrip("/") + ".__compact_tmp"
-    old = seen_dir.rstrip("/") + ".__compact_old"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    spark.read.parquet(seen_dir).distinct().coalesce(4).write.parquet(tmp)
-    os.rename(seen_dir, old)
-    os.rename(tmp, seen_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    (spark.read.parquet(*[os.path.join(seen_dir, f) for f in small])
+     .distinct().coalesce(1).write.parquet(tmp))
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    # land the folded tier first (Spark part filenames carry a per-job
+    # UUID — no collision with existing files), then retire its sources
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(tmp, f), os.path.join(seen_dir, f))
+    for f in small:
+        try:
+            os.remove(os.path.join(seen_dir, f))
+        except FileNotFoundError:
+            pass
+    shutil.rmtree(tmp, ignore_errors=True)
     spark.catalog.refreshByPath(seen_dir)
 
 

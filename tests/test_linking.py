@@ -99,7 +99,7 @@ def test_connected_components_chain(spark):
         [("A", "B"), ("B", "C"), ("D", "E")], ["name_a", "name_b"]
     )
     results = {}
-    for strategy in ("driver", "distributed", "twophase"):
+    for strategy in ("driver", "twophase"):
         comps = {r["name"]: r["component"] for r in
                  linking.connected_components(nodes, edges, strategy=strategy).collect()}
         assert comps["A"] == comps["B"] == comps["C"]
@@ -107,8 +107,12 @@ def test_connected_components_chain(spark):
         assert comps["A"] != comps["D"]
         assert len({comps["F"], comps["G"], comps["A"], comps["D"]}) == 4
         results[strategy] = comps
-    # all strategies produce IDENTICAL labels
-    assert results["driver"] == results["distributed"] == results["twophase"]
+    # both strategies produce IDENTICAL labels
+    assert results["driver"] == results["twophase"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        linking.connected_components(nodes, edges, strategy="bogus")
 
 
 def test_twophase_cc_long_chain(spark):

@@ -215,6 +215,47 @@ def test_stream_seen_ids_file_count_bounded(spark, tmp_path):
     assert c["rows_written"] == 0
 
 
+def test_seen_compaction_is_size_tiered(spark, tmp_path):
+    """VERDICT r03 #7: compaction must never rewrite SEALED tiers (files at
+    or above the tier threshold) — per-compaction I/O is bounded by the
+    small tier's bytes, not by how many ids history holds.  Forced
+    multi-compaction: the sealed file's name/size/mtime survive every
+    round, and no id is ever lost."""
+    from mmore_spark.streaming.ingest import _compact_seen
+
+    seen = str(tmp_path / "out8" / "_seen_ids")
+
+    def append(ids):
+        spark.createDataFrame([(i,) for i in ids], "doc_id string") \
+            .coalesce(1).write.mode("append").parquet(seen)
+
+    # one big "sealed" tier holding most of history
+    append([f"old-{i:06d}" for i in range(20000)])
+    sealed_before = {
+        f: (os.path.getsize(os.path.join(seen, f)),
+            os.path.getmtime(os.path.join(seen, f)))
+        for f in os.listdir(seen) if f.endswith(".parquet")}
+    assert len(sealed_before) == 1
+    tier_bytes = min(sz for sz, _m in sealed_before.values())  # seals it
+
+    expect = {f"old-{i:06d}" for i in range(20000)}
+    for rnd in range(3):
+        new = [f"r{rnd}-{j}" for j in range(18)]
+        for nid in new:
+            append([nid])  # one tiny file per drain, like _append_seen
+        expect.update(new)
+        _compact_seen(spark, seen, max_files=16, tier_bytes=tier_bytes)
+        files = [f for f in os.listdir(seen) if f.endswith(".parquet")]
+        # folded back under the threshold: sealed + at most a few fold files
+        assert len(files) <= 4, files
+        for f, (sz, mt) in sealed_before.items():
+            assert os.path.getsize(os.path.join(seen, f)) == sz
+            assert os.path.getmtime(os.path.join(seen, f)) == mt
+        spark.catalog.refreshByPath(seen)
+        got = {r["doc_id"] for r in spark.read.parquet(seen).collect()}
+        assert got == expect
+
+
 def test_recover_seen_rolls_forward_to_completed_compaction(spark, tmp_path):
     """Crash between _compact_seen's two renames: the finished compacted
     snapshot (with Spark's _SUCCESS) must be rolled forward, not thrown
