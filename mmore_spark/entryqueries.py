@@ -409,7 +409,7 @@ def _minv_sql(d: Dialect, shingles: str, perm: int) -> str:
     return f"{mn}({fn}({shingles}, __s -> {seeded}))"
 
 
-def _band_arms_sql(d: Dialect) -> str:
+def _band_arms_sql(d: Dialect, src: str = "documents") -> str:
     """Per-doc BANDED signature rows (doc_id, band, bh): band hash = h60 of
     the concatenated r=2 min-hashes.  Banding is what keeps LSH sub-
     quadratic on corpora where everything shares common shingles: per-band
@@ -422,7 +422,7 @@ def _band_arms_sql(d: Dialect) -> str:
         m0 = _minv_sql(d, sh, 2 * b)
         m1 = _minv_sql(d, sh, 2 * b + 1)
         bh = d.h60(f"concat(cast({m0} as string), ':', cast({m1} as string))")
-        arms.append(f"SELECT doc_id, {b} AS band, {bh} AS bh FROM documents")
+        arms.append(f"SELECT doc_id, {b} AS band, {bh} AS bh FROM {src}")
     return "\nUNION ALL\n".join(arms)
 
 
@@ -441,59 +441,18 @@ def _dedup_minhash_pairs_sql(d: Dialect) -> str:
 
 def _dedup_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark plan: banded MinHash signatures computed in ONE Arrow-batched
-    stage (mapInPandas + hashlib — ~10× faster than Catalyst's interpreted
-    nested higher-order functions for this many tiny md5 calls), then a
-    native band self-join.  Values are identical to the SQL oracle twin
-    (same md5-based h60 family, hashing.py)."""
-    from pyspark.sql import types as T
+    stage (operators/dedup.minhash_band_signatures — mapInPandas +
+    hashlib, ~10× faster than Catalyst's interpreted nested higher-order
+    functions for this many tiny md5 calls), then a native band
+    self-join.  Values are identical to the SQL oracle twin (same
+    md5-based h60 family, hashing.py).  This is the UNCAPPED baseline;
+    the duplicate-family-safe production path is
+    operators/dedup.candidate_edges (oracle: dedup_minhash_capped)."""
+    from .operators.dedup import minhash_band_signatures
 
-    n_perm, r = _DEDUP_NPERM, _DEDUP_BAND_R
-    n_bands = n_perm // r
-
-    def sig_batches(batches):
-        import hashlib
-
-        import pandas as pd
-
-        def h60(s: str) -> int:
-            return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-
-        for pdf in batches:
-            out_doc, out_band, out_bh = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = (text or "").split(" ")
-                n = len(words)
-                upper = max(n - 2, 1)
-                shingles = [
-                    words[i] + " "
-                    + (words[i + 1] if i + 1 < n else "") + " "
-                    + (words[i + 2] if i + 2 < n else "")
-                    for i in range(upper)
-                ]
-                mins = [
-                    min(h60(s + f"#mh{p}") for s in shingles) for p in range(n_perm)
-                ]
-                for b in range(n_bands):
-                    out_doc.append(doc_id)
-                    out_band.append(b)
-                    out_bh.append(h60(f"{mins[r * b]}:{mins[r * b + 1]}"))
-            yield pd.DataFrame({"doc_id": out_doc, "band": out_band, "bh": out_bh})
-
-    schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("band", T.IntegerType()),
-        T.StructField("bh", T.LongType()),
-    ])
-    # repartition + localCheckpoint leaf: the source file is one row group
-    # → one input partition; the leaf barrier stops Catalyst from pushing
-    # work below the exchange and guarantees the Arrow stage fans out.
-    base = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
-    )
-    sig = base.mapInPandas(sig_batches, schema=schema).persist()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sig = minhash_band_signatures(
+        docs, n_perm=_DEDUP_NPERM, r=_DEDUP_BAND_R).persist()
     sig.count()  # fill the cache once; the self-join reads it twice
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
@@ -2466,3 +2425,64 @@ SELECT doc_id,
            'https?://\S+', '<URL>', 'g')) AS text_clean
 FROM dirty
 """)
+
+
+_CAP_FAMILY = 40      # planted duplicate family size (ids above the corpus)
+_CAP_BUCKET = 8       # low cap so sf0.01 exercises BOTH branches
+
+
+def _dedup_minhash_capped_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family-safe candidate generation (operators/dedup.
+    candidate_edges, VERDICT r03 #3): buckets over the cap emit STAR edges
+    to the bucket min (linear, component-exact for grouping) instead of
+    all k(k-1)/2 pairs.  A 40-member family is PLANTED above the corpus id
+    range and the cap set to 8 so the oracle exercises both branches: the
+    family collapses to 39 star rows (n_shared = 4 bands), the organic
+    corpus buckets stay full-pair and match dedup_minhash_pairs exactly."""
+    from .operators.dedup import candidate_edges, minhash_band_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    fam = spark.range(_CAP_FAMILY).select(
+        (F.lit(10_000_000) + F.col("id")).alias("doc_id"),
+        F.lit("duplicate family boilerplate notice").alias("text"),
+    )
+    sig = minhash_band_signatures(docs.unionByName(fam),
+                                  n_perm=_DEDUP_NPERM, r=_DEDUP_BAND_R)
+    return candidate_edges(sig, max_bucket=_CAP_BUCKET)
+
+
+def _dedup_minhash_capped_duck() -> str:
+    arms = _band_arms_sql(DUCK, src="docs2")
+    return f"""
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT CAST(10000000 + range AS BIGINT) AS doc_id,
+           'duplicate family boilerplate notice' AS text
+    FROM range({_CAP_FAMILY})
+),
+sig AS (SELECT * FROM (\n{arms}\n) t),
+sz AS (SELECT band, bh, count(*) AS k FROM sig GROUP BY 1, 2),
+big AS (SELECT band, bh FROM sz WHERE k > {_CAP_BUCKET}),
+norm AS (SELECT s.* FROM sig s
+         WHERE NOT EXISTS (SELECT 1 FROM big g
+                           WHERE g.band = s.band AND g.bh = s.bh)),
+fam AS (SELECT s.* FROM sig s
+        WHERE EXISTS (SELECT 1 FROM big g
+                      WHERE g.band = s.band AND g.bh = s.bh)),
+mins AS (SELECT band, bh, min(doc_id) AS m FROM fam GROUP BY 1, 2),
+uni AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM norm a JOIN norm b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT m.m AS doc_a, f.doc_id AS doc_b FROM fam f
+    JOIN mins m ON f.band = m.band AND f.bh = m.bh
+    WHERE f.doc_id <> m.m
+)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM uni GROUP BY 1, 2
+"""
+
+
+_df_query("dedup_minhash_capped", _dedup_minhash_capped_spark,
+          _dedup_minhash_capped_duck())
