@@ -2486,3 +2486,97 @@ FROM uni GROUP BY 1, 2
 
 _df_query("dedup_minhash_capped", _dedup_minhash_capped_spark,
           _dedup_minhash_capped_duck())
+
+
+def _chunk_word_stage_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chonkie WordChunker strategy under the oracle gate: the REAL
+    Arrow-stage chunker (operators/chunker.chunk_stage, strategy='word',
+    16-word packing; reference chunker/utils.py:344-354 loads the
+    strategy by this name) over the corpus text.  Chunks are exact
+    slices, so every non-last chunk carries its trailing separator space
+    — the oracle reproduces that in closed form."""
+    from .operators.chunker import chunk_stage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        F.expr("CAST(array() AS array<struct<kind:string,media_ref:string>>)")
+        .alias("modalities"),
+    )
+    chunks = chunk_stage(docs, chunk_size=16, table_mode="none",
+                         strategy="word")
+    return chunks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("text").alias("text_chunk"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+_df_query("chunk_word_stage", _chunk_word_stage_spark, """
+WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT doc_id, ws,
+             unnest(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS ci
+      FROM b)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_index,
+       array_to_string(list_slice(ws, 16 * ci + 1,
+                                  least(16 * ci + 16, len(ws))), ' ')
+         || CASE WHEN 16 * ci + 16 >= len(ws) THEN '' ELSE ' ' END
+         AS text_chunk,
+       CAST(least(16, len(ws) - 16 * ci) AS BIGINT) AS n_tokens
+FROM k
+""")
+
+
+def _chunk_token_overlap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chonkie TokenChunker strategy under the oracle gate: the REAL
+    token_chunks windows (size 16, overlap 4 → step 12; whitespace-token
+    stand-in) over the corpus text.  Overlapping windows duplicate text
+    by design; the run stops at the first window that reaches the end —
+    the oracle encodes the same early-stop (k = 0 OR step·k + overlap <
+    n) in closed form."""
+    from pyspark.sql import types as T
+
+    from .operators.chunker import token_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                for i, c in enumerate(token_chunks(txt or "", 16, overlap=4)):
+                    rows.append({"doc_id": d, "chunk_index": i,
+                                 "text_chunk": c.text, "n_tokens": c.n_tokens})
+            yield pd.DataFrame(rows, columns=["doc_id", "chunk_index",
+                                              "text_chunk", "n_tokens"])
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("chunk_index", T.IntegerType()),
+        T.StructField("text_chunk", T.StringType()),
+        T.StructField("n_tokens", T.IntegerType()),
+    ])
+    return docs.mapInPandas(run, schema).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "text_chunk",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+_df_query("chunk_token_overlap", _chunk_token_overlap_spark, """
+WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT doc_id, ws,
+             unnest(range(0, CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS ci
+      FROM b)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_index,
+       array_to_string(list_slice(ws, 12 * ci + 1,
+                                  least(12 * ci + 16, len(ws))), ' ')
+         AS text_chunk,
+       CAST(least(16, len(ws) - 12 * ci) AS BIGINT) AS n_tokens
+FROM k WHERE ci = 0 OR 12 * ci + 4 < len(ws)
+""")

@@ -218,28 +218,84 @@ def _table_chunks(table: Table, mode: str, max_tokens: int) -> list[TextChunk]:
     return out
 
 
+_WORD_RE = re.compile(r"\S+")
+
+
+def word_chunks(text: str, chunk_size: int, base: int = 0) -> list[TextChunk]:
+    """chonkie ``WordChunker`` packing (reference chunker/utils.py:344-354
+    loads it by strategy name): greedy whole-word groups whose token count
+    stays ≤ chunk_size.  With the whitespace token stand-in every word
+    counts 1, so each chunk carries exactly chunk_size words except the
+    last (the real tokenizer is an external model — the packing algorithm
+    is what is re-expressed).  Chunks are exact slices — concatenation
+    reproduces ``text``."""
+    spans = [m.span() for m in _WORD_RE.finditer(text)]
+    if not spans:
+        return []
+    chunks: list[TextChunk] = []
+    for k in range(0, len(spans), chunk_size):
+        s = spans[k][0] if k else 0
+        e = spans[k + chunk_size][0] if k + chunk_size < len(spans) else len(text)
+        n = min(chunk_size, len(spans) - k)
+        chunks.append(TextChunk(text[s:e], base + s, base + e, n))
+    return chunks
+
+
+def token_chunks(text: str, chunk_size: int, overlap: int = 0,
+                 base: int = 0) -> list[TextChunk]:
+    """chonkie ``TokenChunker``: fixed windows of chunk_size tokens
+    stepping ``chunk_size - overlap`` (whitespace-token stand-in, as
+    above).  Overlapping windows duplicate text by design, so unlike the
+    other strategies the chunks are NOT disjoint slices; each window is
+    trimmed to word boundaries."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    spans = [m.span() for m in _WORD_RE.finditer(text)]
+    if not spans:
+        return []
+    step = chunk_size - overlap
+    chunks: list[TextChunk] = []
+    for s in range(0, len(spans), step):
+        e = min(s + chunk_size, len(spans))
+        cs, ce = spans[s][0], spans[e - 1][1]
+        chunks.append(TextChunk(text[cs:ce], base + cs, base + ce, e - s))
+        if e == len(spans):
+            break
+    return chunks
+
+
+_STRATEGIES = {"sentence": sentence_chunks, "word": word_chunks,
+               "token": token_chunks}
+
+
 def chunk_text(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE,
-               table_mode: str = "single_row") -> list[tuple[TextChunk, bool, str | None]]:
-    """Full table-aware chunking → [(chunk, is_table_chunk, table_header)]."""
+               table_mode: str = "single_row",
+               strategy: str = "sentence") -> list[tuple[TextChunk, bool, str | None]]:
+    """Full table-aware chunking → [(chunk, is_table_chunk, table_header)].
+    ``strategy`` picks the plain-text chunker (sentence/word/token — the
+    reference's chonkie strategy names; semantic needs an embedding model
+    and stays a documented seam); table handling is strategy-independent,
+    as in the reference's multimodal chunker."""
+    chunk_fn = _STRATEGIES[strategy]
     if not text or not text.strip():
         return []
     if table_mode == "none":
-        return [(c, False, None) for c in sentence_chunks(text, chunk_size)]
+        return [(c, False, None) for c in chunk_fn(text, chunk_size)]
     tables = find_tables(text)
     if not tables:
-        return [(c, False, None) for c in sentence_chunks(text, chunk_size)]
+        return [(c, False, None) for c in chunk_fn(text, chunk_size)]
     out: list[tuple[TextChunk, bool, str | None]] = []
     prev = 0
     for tb in tables:
         if tb.start > prev and text[prev:tb.start].strip():
             out.extend((c, False, None)
-                       for c in sentence_chunks(text[prev:tb.start], chunk_size, base=prev))
+                       for c in chunk_fn(text[prev:tb.start], chunk_size, base=prev))
         hdr = norm_table_text(tb.header)
         out.extend((c, True, hdr) for c in _table_chunks(tb, table_mode, chunk_size))
         prev = tb.end
     if prev < len(text) and text[prev:].strip():
         out.extend((c, False, None)
-                   for c in sentence_chunks(text[prev:], chunk_size, base=prev))
+                   for c in chunk_fn(text[prev:], chunk_size, base=prev))
     return out
 
 
@@ -286,8 +342,8 @@ CHUNKS_SCHEMA = T.StructType([
 def chunk_stage(df: DataFrame, chunk_size: int = DEFAULT_CHUNK_SIZE,
                 table_mode: str = "single_row",
                 quirk_drop_last_modality: bool = True,
-                text_col: str = "text", modalities_col: str = "modalities"
-                ) -> DataFrame:
+                text_col: str = "text", modalities_col: str = "modalities",
+                strategy: str = "sentence") -> DataFrame:
     """(doc_id, text, modalities) → exploded chunk rows via one Arrow stage."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -298,7 +354,8 @@ def chunk_stage(df: DataFrame, chunk_size: int = DEFAULT_CHUNK_SIZE,
             for doc_id, text, mods in zip(pdf["doc_id"], pdf[text_col],
                                           pdf[modalities_col]):
                 mods = list(mods) if mods is not None else []
-                chunked = chunk_text(text or "", chunk_size, table_mode)
+                chunked = chunk_text(text or "", chunk_size, table_mode,
+                                     strategy=strategy)
                 routed = route_modalities(
                     text or "", len(mods), [c for c, _t, _h in chunked],
                     quirk_drop_last_modality)

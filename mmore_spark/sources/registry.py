@@ -388,13 +388,40 @@ _PDF_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 _PDF_XOBJ_SENTINEL = "\x00XOBJ\x00"
 
 
-def _pdf_text_from_content(content: bytes) -> str:
+_PDF_NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]*)")
+
+# font value: (code width in bytes, {code: unicode string}) from ToUnicode
+_PdfFont = tuple  # (int, dict[int, str])
+
+
+def _pdf_decode_shown(raw: bytes, font: "_PdfFont | None") -> str:
+    """Decode the raw bytes of one shown string: through the active font's
+    ToUnicode CMap when there is one (CID text — codes are 1- or 2-byte
+    units, unmapped codes drop like a .notdef glyph), else latin-1 (simple
+    fonts, the pre-round-4 behavior)."""
+    if font is None:
+        return raw.decode("latin-1", "replace")
+    w, mp = font
+    return "".join(
+        mp.get(int.from_bytes(raw[k:k + w], "big"), "")
+        for k in range(0, len(raw) - w + 1, w)
+    )
+
+
+def _pdf_text_from_content(content: bytes,
+                           fonts: "dict[str, _PdfFont] | None" = None) -> str:
     """Extract shown text from one content stream: literal/hex strings fed
     to Tj / ' / \" / TJ, with Td/TD/T*/'/\" treated as line breaks; ``Do``
     (XObject draw) leaves a sentinel so embedded images keep their reading-
-    order position in the span sequence."""
+    order position in the span sequence.  ``fonts`` maps resource names to
+    ToUnicode CMaps; ``/Fx ... Tf`` switches the active font so CID hex
+    (or literal) strings decode through the right map.  Name tokens are
+    consumed as NAMES — an operand like ``/TD`` must not be mistaken for
+    the TD operator."""
     out: list[str] = []
     pending: list[str] = []
+    cur_font: "_PdfFont | None" = None
+    last_name = ""
 
     def flush(newline: bool) -> None:
         if pending:
@@ -408,7 +435,12 @@ def _pdf_text_from_content(content: bytes) -> str:
         c = content[i:i + 1]
         if c == b"(":
             s, i = _pdf_literal(content, i)
-            pending.append(s)
+            # _pdf_literal is latin-1 (byte-transparent): recover raw bytes
+            pending.append(_pdf_decode_shown(s.encode("latin-1"), cur_font))
+        elif c == b"/":
+            m = _PDF_NAME_RE.match(content, i)
+            last_name = m.group(1).decode("latin-1", "replace") if m else ""
+            i = m.end() if m else i + 1
         elif c == b"<" and content[i + 1:i + 2] != b"<":
             j = content.find(b">", i)
             if j == -1:
@@ -417,7 +449,8 @@ def _pdf_text_from_content(content: bytes) -> str:
             if len(hx) % 2:
                 hx += b"0"
             try:
-                pending.append(bytes.fromhex(hx.decode()).decode("latin-1", "replace"))
+                pending.append(_pdf_decode_shown(bytes.fromhex(hx.decode()),
+                                                 cur_font))
             except ValueError:
                 pass
             i = j + 1
@@ -428,6 +461,8 @@ def _pdf_text_from_content(content: bytes) -> str:
                 flush(newline=True)
             elif op in (b"Tj", b"TJ"):
                 flush(newline=False)
+            elif op == b"Tf":  # /Name size Tf — select font
+                cur_font = fonts.get(last_name) if fonts else None
             elif op == b"Do":  # XObject draw — possible embedded image
                 flush(newline=False)
                 out.append(_PDF_XOBJ_SENTINEL)
@@ -440,30 +475,151 @@ def _pdf_text_from_content(content: bytes) -> str:
     return "".join(out)
 
 
-def _pdf_group_pages(payload: bytes,
-                     obj_headers: list[tuple[int, int, int]],
-                     extracted: list[tuple[int, int | None, str]]) -> list[str]:
-    """Group extracted content-stream texts into PAGES by resolving the
-    document's page tree — /Type /Catalog → /Pages /Kids → /Page, with
-    /Contents as a direct ref or an ARRAY of refs (PDF 32000-1 §7.7.3.3;
-    the reference's pdf_processor.py walks real pages, so a page with a
-    multi-stream /Contents array must stay ONE page, ADVICE r03).
+def _pdf_cmap(data: bytes) -> "_PdfFont | None":
+    """Parse a ToUnicode CMap stream (PDF 32000-1 §9.10.3): code width
+    from the first codespacerange, mappings from bfchar pairs and bfrange
+    runs (both the start-offset and the per-code array form).  Destination
+    hex is UTF-16BE.  Returns (width, {code: str}) or None."""
+    if not data:
+        return None
+    mcs = re.search(rb"begincodespacerange(.*?)endcodespacerange", data,
+                    re.DOTALL)
+    width = 2
+    if mcs:
+        mfirst = re.search(rb"<([0-9A-Fa-f]+)>", mcs.group(1))
+        if mfirst:
+            width = max(1, len(mfirst.group(1)) // 2)
 
-    Falls back to the historical stream≈page assumption when no page tree
-    is resolvable (page-object-free fragments, object-stream xref — the
-    synthesized round-trip corpus and CID seam land here).  Text-bearing
-    streams not referenced by any page (form XObjects, annotation
-    appearances) attach to the page of the nearest PRECEDING page-owned
-    stream, preserving reading order."""
-    import bisect
+    def uni(hexs: bytes) -> str:
+        try:
+            return bytes.fromhex(hexs.decode()).decode("utf-16-be", "replace")
+        except ValueError:
+            return ""
 
+    mp: dict[int, str] = {}
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        for a, b in re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                               sec.group(1)):
+            mp[int(a, 16)] = uni(b)
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        body = sec.group(1)
+        for lo, hi, arr in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]",
+                body):
+            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
+            for k, d in enumerate(dsts):
+                mp[int(lo, 16) + k] = uni(d)
+        for lo, hi, d0 in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                body):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = int(d0, 16)
+            w = len(d0) // 2
+            for k in range(hi_i - lo_i + 1):
+                mp[lo_i + k] = uni(
+                    b"%0*X" % (w * 2, base + k))
+    return (width, mp) if mp else None
+
+
+def _pdf_balanced_dict(data: bytes, start: int) -> bytes:
+    """Return the balanced ``<< ... >>`` slice beginning at ``start``."""
+    depth, i, n = 0, start, len(data)
+    while i < n:
+        if data[i:i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif data[i:i + 2] == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return data[start:n]
+
+
+def _pdf_resources_fonts(body: bytes, bodies: "dict[int, bytes]",
+                         stream_raws: "dict[int, bytes]"
+                         ) -> "dict[str, _PdfFont]":
+    """Resolve a page's font resources to ToUnicode CMaps: /Resources
+    (inline or ref) → /Font (inline or ref) → per-name font object →
+    /ToUnicode stream → parsed CMap.  Fonts without a usable ToUnicode
+    are omitted (their strings keep the latin-1 simple-font path)."""
+    def dict_of(container: bytes, key: bytes) -> bytes:
+        mref = re.search(key + rb"\s+(\d+)\s+\d+\s+R", container)
+        if mref:
+            return bodies.get(int(mref.group(1)), b"")
+        minl = re.search(key + rb"\s*<<", container)
+        if minl:
+            return _pdf_balanced_dict(container, minl.end() - 2)
+        return b""
+
+    res = dict_of(body, rb"/Resources")
+    fnt = dict_of(res, rb"/Font")
+    fonts: dict[str, _PdfFont] = {}
+    for mname in re.finditer(rb"/([^\s/<>()\[\]{}%]+)\s+(\d+)\s+\d+\s+R", fnt):
+        name = mname.group(1).decode("latin-1")
+        if name == "Font":
+            continue
+        fobj = bodies.get(int(mname.group(2)), b"")
+        mtu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fobj)
+        if not mtu:
+            continue
+        cmap = _pdf_cmap(stream_raws.get(int(mtu.group(1)), b""))
+        if cmap:
+            fonts[name] = cmap
+    return fonts
+
+
+def _pdf_objstm_objects(head: bytes, raw: bytes) -> "dict[int, bytes]":
+    """Expand a /Type /ObjStm object stream (PDF 1.5 §7.5.7): the first
+    /First bytes hold N ``objnum offset`` pairs; the rest holds the
+    serialized objects back-to-back.  Returns objnum → body bytes so page
+    trees and font dicts stored in object streams stay resolvable."""
+    m_n = re.search(rb"/N\s+(\d+)", head)
+    m_f = re.search(rb"/First\s+(\d+)", head)
+    if not (m_n and m_f) or raw is None:
+        return {}
+    n, first = int(m_n.group(1)), int(m_f.group(1))
+    pairs = re.findall(rb"(\d+)\s+(\d+)", raw[:first])[:n]
+    out: dict[int, bytes] = {}
+    for idx, (num, off) in enumerate(pairs):
+        start = first + int(off)
+        end = first + int(pairs[idx + 1][1]) if idx + 1 < len(pairs) else len(raw)
+        out[int(num)] = raw[start:end]
+    return out
+
+
+def _pdf_collect_bodies(payload: bytes,
+                        obj_headers: list[tuple[int, int, int]],
+                        extra: "dict[int, bytes] | None" = None
+                        ) -> tuple[dict[int, bytes], dict[int, int]]:
+    """objnum → body bytes for every top-level object, merged with
+    object-stream-embedded bodies (``extra``, offset-ordered after the
+    top-level set for the file-order page fallback)."""
     bodies: dict[int, bytes] = {}
     obj_offset: dict[int, int] = {}
     for off, num, hend in obj_headers:
         end = payload.find(b"endobj", hend)
         bodies.setdefault(num, payload[hend:end if end != -1 else len(payload)])
         obj_offset.setdefault(num, off)
+    if extra:
+        base = len(payload)
+        for k, (num, body) in enumerate(extra.items()):
+            bodies.setdefault(num, body)
+            obj_offset.setdefault(num, base + k)
+    return bodies, obj_offset
 
+
+def _pdf_resolve_pages(bodies: dict[int, bytes],
+                       obj_offset: dict[int, int]
+                       ) -> tuple[list[int], dict[int, list[int]]]:
+    """Resolve the page tree — /Type /Catalog → /Pages /Kids → /Page,
+    with /Contents as a direct ref or an ARRAY of refs (PDF 32000-1
+    §7.7.3.3; the reference's pdf_processor.py walks real pages, so a
+    page with a multi-stream /Contents array must stay ONE page, ADVICE
+    r03).  Returns (ordered page objnums, page objnum → content objnums);
+    order follows the /Kids tree when walkable, else file order."""
     page_objs: dict[int, list[int]] = {}
     root = None
     for num, body in bodies.items():
@@ -502,11 +658,22 @@ def _pdf_group_pages(payload: bytes,
         walk(root, 0, set())
     if not order:
         order = sorted(page_objs, key=lambda n: obj_offset.get(n, 0))
+    return order, page_objs
 
-    owner: dict[int, int] = {}
-    for pi, pnum in enumerate(order):
-        for c in page_objs.get(pnum, []):
-            owner.setdefault(c, pi)
+
+def _pdf_group_texts(order: list[int], owner: dict[int, int],
+                     extracted: list[tuple[int, int | None, str]]
+                     ) -> list[str]:
+    """Group extracted content-stream texts into page texts.
+
+    Falls back to the historical stream≈page assumption when no page tree
+    is resolvable (page-object-free fragments — the synthesized
+    round-trip corpus lands here).  Text-bearing streams not referenced
+    by any page (form XObjects, annotation appearances) attach to the
+    page of the nearest PRECEDING page-owned stream, preserving reading
+    order."""
+    import bisect
+
     assigned = sorted((off, owner[num]) for off, num, _t in extracted
                       if num in owner)
     if not order or not assigned:
@@ -534,9 +701,11 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
     become ``<attachment>`` modalities WITHOUT decoding pixels — the
     reading-order position comes from the content stream's ``Do`` draws
     (reference: pdf_processor.py emits image spans interleaved with text).
-    Covers simply-encoded text PDFs; CID/encrypted/other filters raise
-    NotImplementedError per file (isolated by the Arrow stage's error
-    column)."""
+    Covers simply-encoded text PDFs; round 4 adds /Type /ObjStm expansion
+    (PDF 1.5 compressed-xref files keep their page tree resolvable) and
+    ToUnicode CMap decoding, so CID-encoded text WITH a ToUnicode map
+    extracts correctly; CID without ToUnicode / encrypted / other filters
+    still raise per file (isolated by the Arrow stage's error column)."""
     import bisect
     import zlib
 
@@ -548,7 +717,8 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
                    for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b", payload)]
     obj_offsets = [o for o, _n, _e in obj_headers]
 
-    extracted: list[tuple[int, int | None, str]] = []  # (offset, objnum, text)
+    # pass 1 — scan every stream: (offset, objnum, head, decoded bytes)
+    streams: list[tuple[int, int | None, bytes, bytes | None]] = []
     n_images = 0
     # (?<!end): 'endstream\n' contains 'stream\n' — matching it would open a
     # spurious window spanning into the next object and duplicate its text
@@ -583,17 +753,60 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
             try:
                 raw = zlib.decompress(raw)
             except zlib.error:
-                continue
+                raw = None
         elif b"/Filter" in head:
-            continue  # unsupported filter (DCT, LZW, ...)
-        if b"BT" not in raw and b"Do" not in raw:
-            continue  # neither text show nor XObject draw
-        t = _pdf_text_from_content(raw).strip()
+            raw = None  # unsupported filter (DCT, LZW, ...)
+        k = bisect.bisect_right(obj_offsets, m.start()) - 1
+        objnum = obj_headers[k][1] if k >= 0 else None
+        streams.append((m.start(), objnum, head, raw))
+
+    # pass 2 — structure: ObjStm expansion, page tree, per-page fonts
+    stream_raws: dict[int, bytes] = {}
+    objstm_extra: dict[int, bytes] = {}
+    for _off, objnum, head, raw in streams:
+        if raw is None:
+            continue
+        if objnum is not None:
+            stream_raws.setdefault(objnum, raw)
+        if re.search(rb"/Type\s*/ObjStm\b", head):
+            objstm_extra.update(_pdf_objstm_objects(head, raw))
+    bodies, obj_offset = _pdf_collect_bodies(payload, obj_headers, objstm_extra)
+    order, page_objs = _pdf_resolve_pages(bodies, obj_offset)
+    owner: dict[int, int] = {}
+    for pi, pnum in enumerate(order):
+        for c in page_objs.get(pnum, []):
+            owner.setdefault(c, pi)
+    page_fonts: list[dict | None] = [None] * len(order)
+
+    def fonts_for(pi: int) -> dict | None:
+        if page_fonts[pi] is None:
+            page_fonts[pi] = _pdf_resources_fonts(
+                bodies.get(order[pi], b""), bodies, stream_raws)
+        return page_fonts[pi] or None
+
+    # structural streams are never page text, even if their bytes happen
+    # to contain BT/Do: object/xref streams and ToUnicode CMap targets
+    non_content: set[int] = set()
+    for _off, objnum, head, _raw in streams:
+        if objnum is not None and re.search(rb"/Type\s*/(ObjStm|XRef)\b", head):
+            non_content.add(objnum)
+    for body in bodies.values():
+        for tu in re.findall(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body):
+            non_content.add(int(tu))
+
+    # pass 3 — replay text shows with the owning page's font CMaps
+    extracted: list[tuple[int, int | None, str]] = []  # (offset, objnum, text)
+    for off, objnum, _head, raw in streams:
+        if raw is None or (b"BT" not in raw and b"Do" not in raw):
+            continue  # undecodable, or neither text show nor XObject draw
+        if objnum in non_content:
+            continue
+        pi = owner.get(objnum)
+        t = _pdf_text_from_content(
+            raw, fonts_for(pi) if pi is not None else None).strip()
         if t:
-            k = bisect.bisect_right(obj_offsets, m.start()) - 1
-            objnum = obj_headers[k][1] if k >= 0 else None
-            extracted.append((m.start(), objnum, t))
-    texts = _pdf_group_pages(payload, obj_headers, extracted)
+            extracted.append((off, objnum, t))
+    texts = _pdf_group_texts(order, owner, extracted)
     # pages join with the reference's pagination markers
     # (pdf_processor.py:211-256, ``\n\n{page}----\n\n``) so the downstream
     # pagination parse recovers per-page paragraph_starts; single-page

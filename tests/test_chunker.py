@@ -24,6 +24,49 @@ def test_sentence_chunking_lossless_and_bounded():
     assert all(c.n_tokens <= 10 for c in chunks)
 
 
+def test_word_chunks_exact_slices():
+    """WordChunker strategy (round 4): 16-word greedy groups, exact
+    slices — concatenation reproduces the text; non-last chunks carry the
+    separator space."""
+    words = [f"w{i}" for i in range(37)]
+    text = " ".join(words)
+    cs = C.word_chunks(text, 16)
+    assert "".join(c.text for c in cs) == text
+    assert [c.n_tokens for c in cs] == [16, 16, 5]
+    assert cs[0].text.endswith(" ") and not cs[-1].text.endswith(" ")
+    assert cs[1].text.split() == words[16:32]
+    # empty / whitespace-only input
+    assert C.word_chunks("", 16) == []
+
+
+def test_token_chunks_overlap_and_early_stop():
+    """TokenChunker strategy: size-16 windows stepping 12 (overlap 4);
+    the run stops at the first window reaching the end — a 16-word text
+    yields ONE window, not a 4-word tail."""
+    text = " ".join(f"w{i}" for i in range(40))
+    cs = C.token_chunks(text, 16, overlap=4)
+    assert [c.n_tokens for c in cs] == [16, 16, 16]
+    assert cs[1].text.split() == [f"w{i}" for i in range(12, 28)]
+    assert C.token_chunks(" ".join(["x"] * 16), 16, overlap=4)[0].n_tokens == 16
+    assert len(C.token_chunks(" ".join(["x"] * 16), 16, overlap=4)) == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        C.token_chunks("a b", 4, overlap=4)
+
+
+def test_chunk_text_strategy_routing():
+    """chunk_text(strategy=...) routes plain text through the chosen
+    chunker while the table path stays strategy-independent."""
+    text = "one two three four five six seven eight"
+    by_word = C.chunk_text(text, chunk_size=3, table_mode="none",
+                           strategy="word")
+    assert [c.n_tokens for c, _t, _h in by_word] == [3, 3, 2]
+    tbl = "intro words here.\n| a | b |\n| --- | --- |\n| 1 | 2 |"
+    routed = C.chunk_text(tbl, chunk_size=3, strategy="word")
+    assert any(is_t for _c, is_t, _h in routed)  # table chunk still emitted
+
+
 def test_table_detection_offsets():
     text = "before\n| a | b |\n| --- | --- |\n| 1 | 2 |\n| 3 | 4 |\nafter"
     tables = C.find_tables(text)
