@@ -571,6 +571,128 @@ def _pdf_resources_fonts(body: bytes, bodies: "dict[int, bytes]",
     return fonts
 
 
+def _pdf_lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (PDF 32000-1 §7.4.4): MSB-first bit stream, variable
+    code width 9→12, code 256 = clear table, 257 = EOD, ``early`` (the
+    /EarlyChange default 1) widens one code before the table fills."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + early - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Undo PNG row predictors (/Predictor ≥ 10 on FlateDecode, common on
+    object/xref streams): each row is a filter-type byte + ``columns``
+    samples; types 0-4 = None/Sub/Up/Average/Paeth."""
+    bpp = max(1, colors * bpc // 8)
+    rowlen = columns * bpp
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i, n = 0, len(data)
+    while i + 1 <= n:
+        ft = data[i]
+        row = bytearray(data[i + 1:i + 1 + rowlen])
+        i += 1 + rowlen
+        for j in range(len(row)):
+            left = row[j - bpp] if j >= bpp else 0
+            up = prev[j] if j < len(prev) else 0
+            ul = prev[j - bpp] if j >= bpp else 0
+            if ft == 1:
+                row[j] = (row[j] + left) & 0xFF
+            elif ft == 2:
+                row[j] = (row[j] + up) & 0xFF
+            elif ft == 3:
+                row[j] = (row[j] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                row[j] = (row[j] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _pdf_decode_stream(head: bytes, raw: bytes) -> bytes | None:
+    """Run a stream's /Filter chain (name or array) with the stdlib:
+    FlateDecode (+ PNG predictors from /DecodeParms), LZWDecode,
+    ASCIIHexDecode, ASCII85Decode.  Returns None for undecodable filters
+    (DCT, JPX, Crypt...) — per-file isolation upstream."""
+    import base64
+    import zlib
+
+    mf = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", head)
+    if not mf:
+        return raw
+    names = re.findall(rb"/([A-Za-z0-9]+)", mf.group(1))
+    mp = re.search(rb"/(?:DecodeParms|DP)\s*<<", head)
+    parms = _pdf_balanced_dict(head, mp.end() - 2) if mp else b""
+    for name in names:
+        try:
+            if name in (b"FlateDecode", b"Fl"):
+                raw = zlib.decompress(raw)
+            elif name in (b"LZWDecode", b"LZW"):
+                me = re.search(rb"/EarlyChange\s+(\d+)", parms)
+                raw = _pdf_lzw_decode(raw, int(me.group(1)) if me else 1)
+            elif name in (b"ASCIIHexDecode", b"AHx"):
+                hx = raw.split(b">")[0].translate(None, b" \t\r\n\f\v")
+                if len(hx) % 2:
+                    hx += b"0"
+                raw = bytes.fromhex(hx.decode("ascii"))
+            elif name in (b"ASCII85Decode", b"A85"):
+                a85 = raw.strip()
+                if a85.startswith(b"<~"):
+                    a85 = a85[2:]
+                if a85.endswith(b"~>"):
+                    a85 = a85[:-2]
+                raw = base64.a85decode(a85, ignorechars=b" \t\r\n\f\v")
+            else:
+                return None  # DCTDecode, JPXDecode, Crypt, RunLength...
+        except Exception:
+            return None
+        mpred = re.search(rb"/Predictor\s+(\d+)", parms)
+        if name in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW") and mpred:
+            pred = int(mpred.group(1))
+            if pred >= 10:
+                mc = re.search(rb"/Columns\s+(\d+)", parms)
+                mcol = re.search(rb"/Colors\s+(\d+)", parms)
+                mb = re.search(rb"/BitsPerComponent\s+(\d+)", parms)
+                raw = _png_unpredict(
+                    raw, int(mc.group(1)) if mc else 1,
+                    int(mcol.group(1)) if mcol else 1,
+                    int(mb.group(1)) if mb else 8)
+            elif pred != 1:
+                return None  # TIFF predictor 2: unsupported
+    return raw
+
+
 def _pdf_objstm_objects(head: bytes, raw: bytes) -> "dict[int, bytes]":
     """Expand a /Type /ObjStm object stream (PDF 1.5 §7.5.7): the first
     /First bytes hold N ``objnum offset`` pairs; the rest holds the
@@ -702,12 +824,13 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
     reading-order position comes from the content stream's ``Do`` draws
     (reference: pdf_processor.py emits image spans interleaved with text).
     Covers simply-encoded text PDFs; round 4 adds /Type /ObjStm expansion
-    (PDF 1.5 compressed-xref files keep their page tree resolvable) and
-    ToUnicode CMap decoding, so CID-encoded text WITH a ToUnicode map
-    extracts correctly; CID without ToUnicode / encrypted / other filters
-    still raise per file (isolated by the Arrow stage's error column)."""
+    (PDF 1.5 compressed-xref files keep their page tree resolvable),
+    ToUnicode CMap decoding (CID-encoded text WITH a ToUnicode map
+    extracts correctly), and the LZW / ASCIIHex / ASCII85 filters plus
+    PNG predictors on Flate/LZW (_pdf_decode_stream).  CID without
+    ToUnicode, encrypted files and image-codec filters still raise per
+    file (isolated by the Arrow stage's error column)."""
     import bisect
-    import zlib
 
     # object map: (offset, objnum) per "N G obj" header — lets each content
     # stream be attributed to its owning object so /Page /Contents can be
@@ -749,13 +872,7 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
         if re.search(rb"/Subtype\s*/Image\b", head):
             n_images += 1  # image XObject: keep the ref, never the pixels
             continue
-        if b"/FlateDecode" in head:
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
-                raw = None
-        elif b"/Filter" in head:
-            raw = None  # unsupported filter (DCT, LZW, ...)
+        raw = _pdf_decode_stream(head, raw)
         k = bisect.bisect_right(obj_offsets, m.start()) - 1
         objnum = obj_headers[k][1] if k >= 0 else None
         streams.append((m.start(), objnum, head, raw))

@@ -310,6 +310,100 @@ def test_parse_pdf_objstm_page_tree():
     assert text == "One\n\n{0}----\n\nTwo"
 
 
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal PDF LZW encoder for fixtures: clear-table start, EOD end,
+    MSB-first variable width 9-12 mirroring the decoder's widening rule."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out_bits: list[tuple[int, int]] = [(256, 9)]
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early - 1 > (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_parse_pdf_filter_chains():
+    """Round 4: LZW / ASCIIHex / ASCII85 filters and a chained
+    [ASCII85 + Flate] stream all decode with the stdlib."""
+    import base64
+    import zlib
+
+    s_lzw = _lzw_encode(b"BT (Lzw page) Tj ET")
+    s_hex = b"BT (Hex page) Tj ET".hex().encode() + b">"
+    comp = zlib.compress(b"BT (ChainedEightFive) Tj ET")
+    s_a85 = base64.a85encode(comp) + b"~>"
+    body = (
+        b"%PDF-1.4\n"
+        + _streamobj(1, s_lzw, b"/Filter /LZWDecode ")
+        + _streamobj(2, s_hex, b"/Filter /ASCIIHexDecode ")
+        + _streamobj(3, s_a85, b"/Filter [/ASCII85Decode /FlateDecode] ")
+        + b"%%EOF\n"
+    )
+    text, refs = registry.parse_pdf("/m/filters.pdf", body)
+    assert refs == []
+    assert text.split("\n\n{0}----\n\n")[0] == "Lzw page"
+    assert "Hex page" in text and "ChainedEightFive" in text
+
+
+def test_parse_pdf_objstm_with_png_predictor():
+    """Object streams are commonly Flate + PNG Up predictor (/Predictor
+    12): the page tree inside must still resolve."""
+    import zlib
+
+    s1 = b"BT 72 720 Td (Pred) Tj ET"
+    bodies = [
+        (1, b"<< /Type /Catalog /Pages 7 0 R >>"),
+        (7, b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>"),
+        (2, b"<< /Type /Page /Parent 7 0 R /Contents 4 0 R >>"),
+    ]
+    offs, blob = [], b""
+    for num, b in bodies:
+        offs.append((num, len(blob)))
+        blob += b + b" "
+    header = b" ".join(b"%d %d" % (n, o) for n, o in offs) + b" "
+    raw = header + blob
+    # apply PNG Up predictor (type 2) with Columns=4, then deflate
+    cols = 4
+    padded = raw + b"\x00" * ((-len(raw)) % cols)
+    rows = [padded[i:i + cols] for i in range(0, len(padded), cols)]
+    filtered = bytearray()
+    prev = b"\x00" * cols
+    for r in rows:
+        filtered.append(2)
+        filtered += bytes((r[j] - prev[j]) & 0xFF for j in range(cols))
+        prev = r
+    comp = zlib.compress(bytes(filtered))
+    objstm = (b"9 0 obj << /Type /ObjStm /N 3 /First %d /Length %d "
+              b"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
+              b"/Columns %d >> >>\nstream\n" % (len(header), len(comp), cols)
+              + comp + b"\nendstream\nendobj\n")
+    payload = b"%PDF-1.5\n" + _streamobj(4, s1) + objstm + b"%%EOF\n"
+    text, refs = registry.parse_pdf("/m/pred.pdf", payload)
+    assert text == "Pred" and refs == []
+
+
 def test_parse_pdf_cid_tounicode():
     """CID text with a ToUnicode CMap must decode through the map: 2-byte
     hex codes via bfchar, bfrange (start-offset AND array forms), and a
