@@ -264,8 +264,74 @@ def token_chunks(text: str, chunk_size: int, overlap: int = 0,
     return chunks
 
 
+def default_embedding(sentences: list[str]):
+    """Deterministic bag-of-words hash embedding (64-dim, unit-norm) —
+    the pluggable stand-in for the semantic chunker's embedding model
+    (chonkie SemanticChunker wraps a sentence-transformer; the model is
+    external, the grouping algorithm is what is re-expressed).  Shared
+    vocabulary → high cosine; disjoint vocabulary concentrates near 0
+    (±1/√64) so a mid-range threshold separates the two."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros((len(sentences), 64))
+    for i, s in enumerate(sentences):
+        for w in s.lower().split():
+            raw = b"".join(hashlib.md5(f"{w}#e{k}".encode("utf-8")).digest()
+                           for k in range(4))
+            wv = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) / 255.0 - 0.5
+            out[i] += wv / max(np.linalg.norm(wv), 1e-12)
+        n = np.linalg.norm(out[i])
+        if n > 0:
+            out[i] /= n
+    return out
+
+
+def semantic_chunks(text: str, chunk_size: int, base: int = 0,
+                    embed=default_embedding,
+                    threshold: float = 0.15) -> list[TextChunk]:
+    """chonkie ``SemanticChunker`` semantics re-expressed: split into
+    sentences (the same boundary rule as the sentence strategy), embed
+    each one (``embed`` is the pluggable model seam), and start a new
+    chunk when the cosine similarity between the next sentence and the
+    mean embedding of the current group drops below ``threshold`` — or
+    the token budget would overflow.  Chunks stay exact slices."""
+    import numpy as np
+
+    if not text:
+        return []
+    bounds = [m.end() for m in _SENT_END.finditer(text)]
+    if not bounds or bounds[-1] != len(text):
+        bounds.append(len(text))
+    spans, prev = [], 0
+    for b in bounds:
+        spans.append((prev, b))
+        prev = b
+    embs = np.asarray(embed([text[s:e] for s, e in spans]))
+    chunks: list[TextChunk] = []
+    cur_start, cur_end = spans[0]
+    cur_tokens = count_tokens(text[cur_start:cur_end])
+    group = [embs[0]]
+    for (s, e), v in zip(spans[1:], embs[1:]):
+        centroid = np.mean(group, axis=0)
+        denom = float(np.linalg.norm(centroid) * np.linalg.norm(v))
+        cos = float(np.dot(centroid, v)) / denom if denom > 0 else 0.0
+        t = count_tokens(text[s:e])
+        if cos < threshold or cur_tokens + t > chunk_size:
+            chunks.append(TextChunk(text[cur_start:cur_end], base + cur_start,
+                                    base + cur_end, cur_tokens))
+            cur_start, cur_tokens, group = s, 0, []
+        cur_end = e
+        cur_tokens += t
+        group.append(v)
+    chunks.append(TextChunk(text[cur_start:cur_end], base + cur_start,
+                            base + cur_end, cur_tokens))
+    return chunks
+
+
 _STRATEGIES = {"sentence": sentence_chunks, "word": word_chunks,
-               "token": token_chunks}
+               "token": token_chunks, "semantic": semantic_chunks}
 
 
 def chunk_text(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE,

@@ -395,7 +395,8 @@ def _connected_components_twophase(nodes: DataFrame, edges: DataFrame,
     )
 
 
-def canonicalize(mentions: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:
+def canonicalize(mentions: DataFrame, n_perm: int = N_PERMUTATIONS,
+                 metrics: dict | None = None) -> DataFrame:
     """mentions(doc_id, entity_name, entity_type, …) → canonical entity map:
 
         (name, component, canonical_name, canonical_id, entity_type,
@@ -404,7 +405,9 @@ def canonicalize(mentions: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame
     Canonical form = the most-mentioned surface name in the component
     (ties → lexicographically smallest); canonical_id = 60-bit hash of the
     canonical name.  The returned map has one row per distinct surface
-    name — dimension-sized, broadcastable downstream.
+    name — dimension-sized, broadcastable downstream.  ``metrics``
+    (optional dict) receives the CC strategy chosen and, on the twophase
+    path, its round count — surfaced into pipeline lineage.
     """
     from pyspark.sql import Window
 
@@ -428,7 +431,7 @@ def canonicalize(mentions: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame
         .localCheckpoint()
     )
     edges = match_edges(counts.select("name"), n_perm)
-    comps = connected_components(counts.select("name"), edges)
+    comps = connected_components(counts.select("name"), edges, metrics=metrics)
     labeled = counts.join(comps, "name")
     w = (
         Window.partitionBy("component")

@@ -60,6 +60,7 @@ class StageResult:
     rows: int
     wall_ms: int
     skipped: bool = False
+    info: dict = field(default_factory=dict)  # stage-specific metrics
 
 
 @dataclass
@@ -75,7 +76,8 @@ class KGPipeline:
     def _path(self, stage: str) -> str:
         return os.path.join(self.warehouse, stage)
 
-    def _run_stage(self, stage: str, make_df, partition_by=None) -> DataFrame:
+    def _run_stage(self, stage: str, make_df, partition_by=None,
+                   info: dict | None = None) -> DataFrame:
         path = self._path(stage)
         if tables.is_complete(path):
             import json
@@ -86,7 +88,8 @@ class KGPipeline:
             return tables.read_table(self.spark, path)
         df = make_df()
         summary = tables.write_table(df, path, stage, partition_by)
-        self.results.append(StageResult(stage, path, summary["rows"], summary["wall_ms"]))
+        self.results.append(StageResult(stage, path, summary["rows"],
+                                        summary["wall_ms"], info=info or {}))
         return tables.read_table(self.spark, path)
 
     def run(self, documents: DataFrame) -> dict[str, DataFrame]:
@@ -123,8 +126,13 @@ class KGPipeline:
                 F.col("t.weight").alias("weight"),
             ),
         )
+        # CC observability flows into this stage's lineage: strategy chosen
+        # (driver vs twophase) and, on the twophase path, the round count
+        cc_metrics: dict = {}
         canonical_map = self._run_stage(
-            "canonical_map", lambda: linking.canonicalize(mentions)
+            "canonical_map",
+            lambda: linking.canonicalize(mentions, metrics=cc_metrics),
+            info=cc_metrics,
         )
         entities = self._run_stage(
             "entities", lambda: linking.entities_table(canonical_map)

@@ -55,6 +55,30 @@ def test_token_chunks_overlap_and_early_stop():
         C.token_chunks("a b", 4, overlap=4)
 
 
+def test_semantic_chunks_topic_shift_splits():
+    """SemanticChunker strategy (round 4): consecutive sentences sharing
+    vocabulary group together; a topic shift (disjoint vocabulary → low
+    cosine under the hash embedding) starts a new chunk.  Slices stay
+    exact and lossless."""
+    text = ("Acme makes widgets daily. Acme sells widgets cheap. "
+            "Rainfall flooded mountain valleys. Rainfall soaked mountain towns.")
+    cs = C.semantic_chunks(text, chunk_size=100)
+    assert "".join(c.text for c in cs) == text
+    assert len(cs) == 2
+    assert "widgets" in cs[0].text and "widgets" not in cs[1].text
+    assert "Rainfall" in cs[1].text
+    # token budget still binds even within one topic
+    same = "Acme makes widgets. " * 10
+    bounded = C.semantic_chunks(same.strip(), chunk_size=6)
+    assert all(c.n_tokens <= 6 for c in bounded)
+    # pluggable model seam: a constant embedder never splits on topic
+    import numpy as np
+
+    one = C.semantic_chunks(text, chunk_size=100,
+                            embed=lambda ss: np.ones((len(ss), 4)))
+    assert len(one) == 1
+
+
 def test_chunk_text_strategy_routing():
     """chunk_text(strategy=...) routes plain text through the chosen
     chunker while the table path stays strategy-independent."""
