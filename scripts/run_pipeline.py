@@ -42,7 +42,8 @@ def main() -> None:
     out = pipe.run(docs)
     summary = {
         "stages": [
-            {"stage": r.name, "rows": r.rows, "wall_ms": r.wall_ms, "skipped": r.skipped}
+            {"stage": r.name, "rows": r.rows, "wall_ms": r.wall_ms,
+             "skipped": r.skipped, **({"info": r.info} if r.info else {})}
             for r in pipe.lineage()
         ],
         "triples_global": out["triples_global"].count(),

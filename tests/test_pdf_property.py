@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the round-4 PDF decoders:
+LZW round-trip, PNG predictor round-trip, ToUnicode CMap decode."""
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from mmore_spark.sources.registry import (
+    _pdf_cmap,
+    _pdf_decode_shown,
+    _pdf_lzw_decode,
+    _png_unpredict,
+)
+from tests.test_sources import _lzw_encode
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_lzw_roundtrip(data):
+    assert _pdf_lzw_decode(_lzw_encode(data)) == data
+
+
+def _png_predict_forward(data: bytes, columns: int, ftypes) -> bytes:
+    """Apply PNG row filters forward (the inverse of _png_unpredict)."""
+    out = bytearray()
+    prev = bytes(columns)
+    rows = [data[i:i + columns] for i in range(0, len(data), columns)]
+    for ri, row in enumerate(rows):
+        row = row.ljust(columns, b"\x00")
+        ft = ftypes[ri % len(ftypes)]
+        out.append(ft)
+        filt = bytearray()
+        for j in range(columns):
+            left = row[j - 1] if j >= 1 else 0
+            up = prev[j]
+            ul = prev[j - 1] if j >= 1 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            filt.append((row[j] - pred) & 0xFF)
+        out += filt
+        prev = row
+    return bytes(out)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.binary(min_size=1, max_size=256),
+    st.integers(min_value=1, max_value=16),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+)
+def test_png_predictor_roundtrip(data, columns, ftypes):
+    padded = data + b"\x00" * ((-len(data)) % columns)
+    filtered = _png_predict_forward(padded, columns, ftypes)
+    assert _png_unpredict(filtered, columns) == padded
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dictionaries(
+    st.integers(min_value=0, max_value=0xFFFF),
+    st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            min_size=1, max_size=3),
+    min_size=1, max_size=20,
+))
+def test_cmap_bfchar_roundtrip(mapping):
+    """Arbitrary 2-byte code → BMP-text mappings survive the CMap text
+    form and decode shown strings code-by-code."""
+    lines = "\n".join(
+        f"<{code:04X}> <{''.join(f'{ord(ch):04X}' for ch in dst)}>"
+        for code, dst in mapping.items())
+    text = ("begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+            "endcodespacerange\n"
+            f"{len(mapping)} beginbfchar\n{lines}\nendbfchar\nendcmap")
+    font = _pdf_cmap(text.encode("ascii"))
+    assert font is not None and font[0] == 2
+    codes = list(mapping)
+    raw = b"".join(c.to_bytes(2, "big") for c in codes)
+    assert _pdf_decode_shown(raw, font) == "".join(mapping[c] for c in codes)
