@@ -2580,3 +2580,62 @@ SELECT doc_id, CAST(ci AS BIGINT) AS chunk_index,
        CAST(least(16, len(ws) - 12 * ci) AS BIGINT) AS n_tokens
 FROM k WHERE ci = 0 OR 12 * ci + 4 < len(ws)
 """)
+
+
+def _media_id3_tags_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 text-frame parsing under the oracle gate (reference media
+    path sample metadata): synthesize per-doc MP3s with REAL ID3v2.3 and
+    v2.4 tags (title/artist, latin-1 and utf-16 encodings by parity) and
+    recover them with operators/multimodal.decode_id3_tags +
+    decode_mp3_meta.  The oracle is closed-form string SQL."""
+    from .operators.multimodal import decode_mp3_meta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        frame = b"\xff\xfb\xa4\xc0" + b"\x00" * 476  # MPEG-1 L3 160k/48k
+
+        def text_frame(fid, txt, v4):
+            if v4:
+                data = b"\x03" + txt.encode("utf-8")
+            else:
+                data = b"\x01" + txt.encode("utf-16")
+            sz = ((len(data) >> 21 & 0x7F, len(data) >> 14 & 0x7F,
+                   len(data) >> 7 & 0x7F, len(data) & 0x7F) if v4
+                  else tuple(len(data).to_bytes(4, "big")))
+            return fid + bytes(sz) + b"\x00\x00" + data
+
+        out = []
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v4 = d % 2 == 0
+                frames = (text_frame(b"TIT2", f"Track {d}", v4)
+                          + text_frame(b"TPE1", f"Artist {d % 50}", v4))
+                sz = len(frames)
+                hdr = (b"ID3" + (b"\x04" if v4 else b"\x03") + b"\x00\x00"
+                       + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                                (sz >> 7) & 0x7F, sz & 0x7F]))
+                meta = decode_mp3_meta(hdr + frames + frame * 3)
+                out.append({"doc_id": str(d), "title": meta.get("title"),
+                            "artist": meta.get("artist"),
+                            "n_frames": meta["n_frames"]})
+            yield pd.DataFrame(out, columns=["doc_id", "title", "artist",
+                                             "n_frames"])
+            out = []
+
+    return docs.mapInPandas(
+        synth, "doc_id string, title string, artist string, n_frames long"
+    ).select(F.col("doc_id").cast("long").alias("doc_id"),
+             "title", "artist", "n_frames")
+
+
+_df_query("media_id3_tags", _media_id3_tags_spark, """
+SELECT doc_id,
+       'Track ' || doc_id AS title,
+       'Artist ' || (doc_id % 50) AS artist,
+       CAST(3 AS BIGINT) AS n_frames
+FROM documents
+""")

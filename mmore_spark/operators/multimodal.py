@@ -120,6 +120,47 @@ _MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
 _MP3_RATES = (44100, 48000, 32000)
 
 
+_ID3_TEXT_FRAMES = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+
+
+def decode_id3_tags(payload: bytes) -> dict:
+    """ID3v2.3/2.4 text frames with the stdlib (informal standard
+    id3v2.4.0-structure): syncsafe tag size, per-frame size (syncsafe in
+    v2.4, plain big-endian in v2.3), leading encoding byte
+    (latin-1/utf-16/utf-16-be/utf-8).  Returns the reference media
+    path's sample metadata keys: title / artist / album (when present)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return {}
+
+    def syncsafe(b: bytes) -> int:
+        return ((b[0] & 0x7F) << 21 | (b[1] & 0x7F) << 14
+                | (b[2] & 0x7F) << 7 | (b[3] & 0x7F))
+
+    ver = payload[3]
+    end = min(10 + syncsafe(payload[6:10]), len(payload))
+    i = 10
+    out: dict = {}
+    while i + 10 <= end:
+        fid = payload[i:i + 4]
+        if not fid.strip(b"\x00"):
+            break  # zero padding reached
+        fsz = (syncsafe(payload[i + 4:i + 8]) if ver >= 4
+               else int.from_bytes(payload[i + 4:i + 8], "big"))
+        data = payload[i + 10:i + 10 + fsz]
+        i += 10 + fsz
+        key = _ID3_TEXT_FRAMES.get(fid)
+        if key is None or not data:
+            continue
+        enc, body = data[0], data[1:]
+        try:
+            txt = body.decode(
+                {0: "latin-1", 1: "utf-16", 2: "utf-16-be"}.get(enc, "utf-8"))
+        except UnicodeDecodeError:
+            continue
+        out[key] = txt.rstrip("\x00")
+    return out
+
+
 def decode_mp3_meta(payload: bytes) -> dict:
     """REAL MP3 container metadata with the stdlib (frame-header walk,
     ISO/IEC 11172-3): duration, bitrate, sample rate, channel count and
@@ -171,7 +212,7 @@ def decode_mp3_meta(payload: bytes) -> dict:
         i += frame_len
     if not frames or first is None:
         raise NotImplementedError("mp3: no valid MPEG frames found")
-    return {**first, "n_frames": frames,
+    return {**decode_id3_tags(payload), **first, "n_frames": frames,
             "duration_s": frames * 1152 / first["sample_rate"]}
 
 

@@ -673,8 +673,22 @@ def _pdf_decode_stream(head: bytes, raw: bytes) -> bytes | None:
                 if a85.endswith(b"~>"):
                     a85 = a85[:-2]
                 raw = base64.a85decode(a85, ignorechars=b" \t\r\n\f\v")
+            elif name in (b"RunLengthDecode", b"RL"):
+                out = bytearray()
+                i = 0
+                while i < len(raw):
+                    ln = raw[i]
+                    if ln == 128:  # EOD
+                        break
+                    if ln < 128:
+                        out += raw[i + 1:i + 2 + ln]
+                        i += 2 + ln
+                    else:
+                        out += raw[i + 1:i + 2] * (257 - ln)
+                        i += 2
+                raw = bytes(out)
             else:
-                return None  # DCTDecode, JPXDecode, Crypt, RunLength...
+                return None  # DCTDecode, JPXDecode, Crypt...
         except Exception:
             return None
         mpred = re.search(rb"/Predictor\s+(\d+)", parms)

@@ -275,6 +275,33 @@ def test_decode_mp3_false_sync_before_first_frame():
         MM.decode_mp3_meta(b"\xff\xf3\x40\x00" * 100)
 
 
+def test_decode_id3_text_frames():
+    """ID3v2.3 (plain sizes, utf-16) and v2.4 (syncsafe, utf-8) text
+    frames both recover title/artist/album; junk after the tag is left to
+    the frame walk (round 4)."""
+    def tf(fid, txt, v4):
+        data = (b"\x03" + txt.encode("utf-8")) if v4 else \
+            (b"\x01" + txt.encode("utf-16"))
+        sz = bytes([(len(data) >> 21) & 0x7F, (len(data) >> 14) & 0x7F,
+                    (len(data) >> 7) & 0x7F, len(data) & 0x7F]) if v4 \
+            else len(data).to_bytes(4, "big")
+        return fid + sz + b"\x00\x00" + data
+
+    for v4 in (False, True):
+        frames = (tf(b"TIT2", "My Song", v4) + tf(b"TPE1", "Someone", v4)
+                  + tf(b"TALB", "The Album", v4))
+        hdr = (b"ID3" + (b"\x04" if v4 else b"\x03") + b"\x00\x00"
+               + bytes([(len(frames) >> 21) & 0x7F, (len(frames) >> 14) & 0x7F,
+                        (len(frames) >> 7) & 0x7F, len(frames) & 0x7F]))
+        tags = MM.decode_id3_tags(hdr + frames)
+        assert tags == {"title": "My Song", "artist": "Someone",
+                        "album": "The Album"}
+    # integrated: decode_mp3_meta carries the tags alongside frame meta
+    m = MM.decode_mp3_meta(hdr + frames + _make_mp3(n_frames=2))
+    assert m["title"] == "My Song" and m["n_frames"] == 2
+    assert MM.decode_id3_tags(b"not id3") == {}
+
+
 def test_decode_mp4_meta_box_walk():
     m = MM.decode_mp4_meta(_make_mp4(timescale=600, duration=3000))
     assert m["timescale"] == 600 and m["duration_units"] == 3000

@@ -366,6 +366,14 @@ def test_parse_pdf_filter_chains():
     assert text.split("\n\n{0}----\n\n")[0] == "Lzw page"
     assert "Hex page" in text and "ChainedEightFive" in text
 
+    # RunLengthDecode: literal run + a repeat run, EOD-terminated
+    plain = b"BT (Rle page) Tj ET"
+    rle = bytes([len(plain) - 1]) + plain + bytes([257 - 4]) + b" " + b"\x80"
+    body2 = (b"%PDF-1.4\n"
+             + _streamobj(1, rle, b"/Filter /RunLengthDecode ") + b"%%EOF\n")
+    t2, _ = registry.parse_pdf("/m/rle.pdf", body2)
+    assert t2 == "Rle page"
+
 
 def test_parse_pdf_objstm_with_png_predictor():
     """Object streams are commonly Flate + PNG Up predictor (/Predictor
