@@ -220,9 +220,12 @@ def _rels(zf, rels_path: str) -> dict[str, str]:
 def parse_docx(path: str, payload: bytes) -> tuple[str, list]:
     """DOCX processor (docx_processor.py:50-133) without mammoth: zipfile +
     ElementTree over word/document.xml — paragraph runs concatenated in
-    document order, Heading styles rendered as markdown headings (the
-    reference's html→markdown path), inline images replaced by
-    ``<attachment>`` with refs resolved through the relationship part."""
+    document order, Heading styles rendered as markdown headings and
+    ``w:tbl`` tables as markdown tables (the reference's html→markdown
+    path does both), inline images replaced by ``<attachment>`` with refs
+    resolved through the relationship part.  Unknown containers (w:sdt
+    and friends) are walked recursively so wrapped paragraphs still
+    extract."""
     import io
     import xml.etree.ElementTree as ET
     import zipfile
@@ -232,9 +235,9 @@ def parse_docx(path: str, payload: bytes) -> tuple[str, list]:
     root = ET.fromstring(zf.read("word/document.xml"))
     paras: list[str] = []
     refs: list[tuple[str, str]] = []
-    for p in root.iter(f"{_W_NS}p"):
+
+    def runs(p) -> str:
         parts: list[str] = []
-        style = p.find(f"{_W_NS}pPr/{_W_NS}pStyle")
         for el in p.iter():
             if el.tag == f"{_W_NS}t" and el.text:
                 parts.append(el.text)
@@ -243,14 +246,43 @@ def parse_docx(path: str, payload: bytes) -> tuple[str, list]:
                 target = rels.get(rid, "")
                 refs.append(("image", f"{path}#{target.rsplit('/', 1)[-1]}"))
                 parts.append(ATTACHMENT_TAG)
-        text = "".join(parts).strip()
+        return "".join(parts).strip()
+
+    def paragraph(p) -> None:
+        text = runs(p)
         if not text:
-            continue
+            return
+        style = p.find(f"{_W_NS}pPr/{_W_NS}pStyle")
         sval = style.get(f"{_W_NS}val", "") if style is not None else ""
         m = re.fullmatch(r"Heading([1-6])", sval)
         if m:
             text = "#" * int(m.group(1)) + " " + text
         paras.append(text)
+
+    def table(tbl) -> None:
+        lines: list[str] = []
+        for ri, tr in enumerate(tbl.findall(f"{_W_NS}tr")):
+            cells = [" ".join(filter(None, (runs(p) for p in
+                                            tc.iter(f"{_W_NS}p"))))
+                     for tc in tr.findall(f"{_W_NS}tc")]
+            lines.append("| " + " | ".join(cells) + " |")
+            if ri == 0:
+                lines.append("|" + " --- |" * len(cells))
+        if lines:
+            paras.append("\n".join(lines))
+
+    def emit(el) -> None:
+        if el.tag == f"{_W_NS}p":
+            paragraph(el)
+        elif el.tag == f"{_W_NS}tbl":
+            table(el)
+        else:
+            for ch in el:
+                emit(ch)
+
+    body = root.find(f"{_W_NS}body")
+    for child in (body if body is not None else root):
+        emit(child)
     return "\n\n".join(paras), refs
 
 

@@ -545,6 +545,50 @@ def test_parse_docx():
     assert refs == [("image", "/m/r.docx#image1.png")]
 
 
+def test_parse_docx_tables_and_sdt():
+    """Round 4: w:tbl renders as a markdown table (header + separator +
+    body rows — feeds the table-aware chunker, matching the reference's
+    mammoth html→markdown path) and paragraphs wrapped in unknown
+    containers (w:sdt) still extract."""
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+    def p(txt):
+        return f'<w:p><w:r><w:t>{txt}</w:t></w:r></w:p>'
+
+    def tc(txt):
+        return f"<w:tc>{p(txt)}</w:tc>"
+
+    xml = (
+        f'<?xml version="1.0"?><w:document xmlns:w="{W}"><w:body>'
+        + p("Before table.")
+        + "<w:tbl>"
+        + f"<w:tr>{tc('name')}{tc('qty')}</w:tr>"
+        + f"<w:tr>{tc('bolt')}{tc('7')}</w:tr>"
+        + f"<w:tr>{tc('nut')}{tc('3')}</w:tr>"
+        + "</w:tbl>"
+        + f"<w:sdt><w:sdtContent>{p('Wrapped paragraph.')}</w:sdtContent></w:sdt>"
+        + "</w:body></w:document>"
+    )
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", xml)
+    text, refs = registry.parse_docx("/m/t.docx", buf.getvalue())
+    assert refs == []
+    blocks = text.split("\n\n")
+    assert blocks[0] == "Before table."
+    assert blocks[1] == ("| name | qty |\n| --- | --- |\n"
+                         "| bolt | 7 |\n| nut | 3 |")
+    assert blocks[2] == "Wrapped paragraph."
+    # the rendered table is detected by the table-aware chunker
+    from mmore_spark.operators.chunker import find_tables
+
+    tables = find_tables(text)
+    assert len(tables) == 1 and len(tables[0].body_rows) == 2
+
+
 def test_parse_pptx():
     """Reference semantics (pptx_processor.py:45-116): slides in
     presentation order, shapes sorted by vertical position, pictures →
