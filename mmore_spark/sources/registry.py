@@ -61,19 +61,138 @@ _HTML_TAG = re.compile(r"<[^>]+>")
 _HTML_ATT_SENTINEL = "\x00ATT\x00"
 
 
+class _HTMLToMd:
+    """Structural html→markdown-lite conversion (stdlib HTMLParser),
+    mirroring the reference's markdownify pass (html_processor.py:7,
+    33-110): headings → ``#``, list items → ``- ``, anchors →
+    ``[text](href)``, tables → markdown tables, script/style dropped,
+    inline images → attachment sentinel in reading order."""
+
+    _BLOCK_ENDS = {"p", "div", "section", "article", "header", "footer",
+                   "blockquote", "ul", "ol", "li", "tr", "title"}
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        self.blocks: list[str] = []
+        self.buf: list[str] = []
+        self.refs: list[tuple[str, str]] = []
+        self.skip = 0
+        self.heading = 0
+        self.list_item = False
+        self.table_rows: list[list[str]] | None = None
+        self.cell: list[str] | None = None
+        self.a_hrefs: list[str] = []
+
+        outer = self
+
+        class P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                outer.start(tag, dict(attrs))
+
+            def handle_startendtag(self, tag, attrs):
+                outer.start(tag, dict(attrs))
+
+            def handle_endtag(self, tag):
+                outer.end(tag)
+
+            def handle_data(self, data):
+                outer.data(data)
+
+        self.parser = P(convert_charrefs=True)
+
+    def _sink(self) -> list[str]:
+        return self.cell if self.cell is not None else self.buf
+
+    def _flush(self) -> None:
+        text = re.sub(r"\s+", " ", "".join(self.buf)).strip()
+        self.buf = []
+        if text:
+            if self.heading:
+                text = "#" * self.heading + " " + text
+            elif self.list_item:
+                text = "- " + text
+            self.blocks.append(text)
+
+    def start(self, tag: str, a: dict) -> None:
+        if tag in ("script", "style"):
+            self.skip += 1
+        elif tag == "img":
+            self.refs.append(("image", a.get("src", "")))
+            self._sink().append(f" {_HTML_ATT_SENTINEL} ")
+        elif tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self._flush()
+            self.heading = int(tag[1])
+        elif tag == "li":
+            self._flush()
+            self.list_item = True
+        elif tag == "br":
+            self._flush()
+        elif tag == "table":
+            self._flush()
+            self.table_rows = []
+        elif tag == "tr" and self.table_rows is not None:
+            self.table_rows.append([])
+        elif tag in ("td", "th") and self.table_rows is not None:
+            self.cell = []
+        elif tag == "a":
+            href = a.get("href") or ""
+            self.a_hrefs.append(href)
+            if href:
+                self._sink().append("[")
+
+    def end(self, tag: str) -> None:
+        if tag in ("script", "style"):
+            self.skip = max(0, self.skip - 1)
+        elif tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self._flush()
+            self.heading = 0
+        elif tag == "li":
+            self._flush()
+            self.list_item = False
+        elif tag in ("td", "th") and self.cell is not None:
+            if self.table_rows and self.table_rows[-1] is not None:
+                self.table_rows[-1].append(
+                    re.sub(r"\s+", " ", "".join(self.cell)).strip())
+            self.cell = None
+        elif tag == "table" and self.table_rows is not None:
+            rows = [r for r in self.table_rows if r]
+            self.table_rows = None
+            lines = []
+            for r in rows:
+                lines.append("| " + " | ".join(r) + " |")
+                if len(lines) == 1:
+                    lines.append("|" + " --- |" * len(r))
+            if lines:
+                self.blocks.append("\n".join(lines))
+        elif tag == "a" and self.a_hrefs:
+            href = self.a_hrefs.pop()
+            if href:
+                self._sink().append(f"]({href})")
+        elif tag in self._BLOCK_ENDS:
+            self._flush()
+
+    def data(self, d: str) -> None:
+        if not self.skip:
+            self._sink().append(d)
+
+    def run(self, text: str) -> str:
+        self.parser.feed(text)
+        self.parser.close()
+        self._flush()
+        return "\n\n".join(self.blocks)
+
+
 def parse_html(path: str, payload: bytes) -> tuple[str, list]:
-    """HTML processor (html_processor.py:33-110): strip markup, image
-    tags → placeholders.  The placeholder is planted as a non-tag
-    sentinel first — substituting ``<attachment>`` directly would get
-    eaten by the tag-stripping pass and the media span would lose its
-    position in the span sequence (round-3 bug found by the round-trip
-    oracle)."""
-    text = payload.decode("utf-8", errors="replace")
-    refs = [("image", m.group(1)) for m in _HTML_IMG.finditer(text)]
-    text = _HTML_IMG.sub(_HTML_ATT_SENTINEL, text)
-    text = _HTML_TAG.sub(" ", text)
-    text = re.sub(r"\s+", " ", text).strip()
-    return text.replace(_HTML_ATT_SENTINEL, ATTACHMENT_TAG), refs
+    """HTML processor (html_processor.py:33-110, markdownify pass):
+    structural html→markdown-lite — headings, list items, anchors and
+    tables keep their shape (tables feed the table-aware chunker), image
+    tags → placeholders.  The placeholder travels as a non-tag sentinel
+    (round-3 bug: a literal ``<attachment>`` was eaten by tag handling
+    and the media span lost its position in the span sequence)."""
+    conv = _HTMLToMd()
+    text = conv.run(payload.decode("utf-8", errors="replace"))
+    return text.replace(_HTML_ATT_SENTINEL, ATTACHMENT_TAG), conv.refs
 
 
 def _clean_py(text: str) -> str:

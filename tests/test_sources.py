@@ -533,6 +533,32 @@ def test_parse_pdf_unsupported_raises():
         registry.parse_pdf("/m/x.pdf", b"%PDF-fake no streams")
 
 
+def test_parse_html_markdown_structure():
+    """Round 4: parse_html mirrors the reference's markdownify pass —
+    headings, list items, anchors and tables keep structure; script/
+    style content is dropped; images stay positioned placeholders."""
+    html = (b"<html><head><style>p{color:red}</style></head><body>"
+            b"<h2>Section</h2><p>Intro <a href='http://x.y/z'>link</a> "
+            b"<img src='a.png'> tail</p>"
+            b"<ul><li>alpha</li><li>beta</li></ul>"
+            b"<table><tr><th>name</th><th>qty</th></tr>"
+            b"<tr><td>bolt</td><td>7</td></tr></table>"
+            b"<script>var t='<b>not text</b>'</script></body></html>")
+    text, refs = registry.parse_html("/m/s.html", html)
+    assert refs == [("image", "a.png")]
+    blocks = text.split("\n\n")
+    assert blocks[0] == "## Section"
+    assert blocks[1] == "Intro [link](http://x.y/z) "\
+        + registry.ATTACHMENT_TAG + " tail"
+    assert blocks[2] == "- alpha" and blocks[3] == "- beta"
+    assert blocks[4] == "| name | qty |\n| --- | --- |\n| bolt | 7 |"
+    assert "not text" not in text and "color:red" not in text
+    # the rendered table is detected by the table-aware chunker
+    from mmore_spark.operators.chunker import find_tables
+
+    assert len(find_tables(text)) == 1
+
+
 def test_parse_docx():
     """Reference semantics (docx_processor.py:50-133): paragraphs in
     document order, heading styles as markdown, inline images →
