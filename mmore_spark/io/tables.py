@@ -3,7 +3,11 @@
 Production format is Iceberg (partitioned triple/entity tables, snapshot-
 based incremental reads); this sandbox has no Iceberg runtime jar, so the
 writer transparently falls back to partitioned parquet with an atomic
-``_SUCCESS``-style completion marker.  The interface is format-agnostic:
+``_SUCCESS``-style completion marker.  The jar-free half of the Iceberg
+path — catalog session conf, CREATE TABLE DDL with hidden-partition
+transforms, MERGE INTO upsert generation, snapshot-range incremental
+reads — is real and unit-tested in ``io/iceberg.py``; with the runtime
+present those statements drive the production tables.  The interface is format-agnostic:
 every write lands
   * the data, partitioned by the declared columns,
   * a ``_lineage`` side table: one row per output partition
