@@ -1,0 +1,91 @@
+"""Trainable character-n-gram language ID — the langdetect seam made
+real natively (SURVEY.md §2.3; reference tagger/lang_detector.py:7-18
+wraps the langdetect library, itself a char-n-gram Naive Bayes).
+
+Train: labeled (text, lang) sample → per-language trigram log-probability
+profiles (Laplace-smoothed, top-K trigrams per language) — a
+DIMENSION-scale DataFrame.  Classify: explode each doc's trigrams, one
+broadcast join against the profiles, per-(doc, lang) log-likelihood sum
+with a per-language smoothing floor for unseen trigrams, argmax.  Every
+step is native (explode / broadcast join / groupBy / max_by) — no Python
+in the hot path, and the only shuffle keys are (doc_id) aggregations.
+
+The heuristic ``lang_heuristic`` tagger (oracle row tag_lang_guess) stays
+the zero-training default; this operator is for corpora with a labeled
+sample.  Exact langdetect parity remains untestable here (library
+absent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def char_trigrams(text_col: str) -> F.Column:
+    """array of character trigrams of lower-cased text (positions overlap,
+    as in langdetect's n-gram extraction)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - 2, 0)), "
+        f"__ti -> substring(lower({text_col}), __ti, 3))"
+    )
+
+
+def train_langid(labeled: DataFrame, text_col: str = "text",
+                 lang_col: str = "lang", top_k: int = 4000) -> DataFrame:
+    """(text, lang) sample → profiles (lang, tri, logp, floor_logp).
+
+    logp = log((c + 1) / (N_lang + V)) over the language's trigram counts
+    (Laplace); floor_logp = log(1 / (N_lang + V)) is the same formula at
+    c = 0, charged per unseen trigram at classification time so languages
+    with small profiles are not rewarded for missing evidence."""
+    tri = labeled.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_trigrams(text_col)).alias("tri"),
+    )
+    counts = tri.groupBy("lang", "tri").agg(F.count("*").alias("c"))
+    vocab = counts.select("tri").distinct().count()
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
+    top = counts.withColumn("_rk", F.row_number().over(w)) \
+        .filter(F.col("_rk") <= top_k).drop("_rk")
+    return (
+        top.join(totals, "lang")
+        .select(
+            "lang", "tri",
+            F.log((F.col("c") + 1) / (F.col("n") + F.lit(vocab))).alias("logp"),
+            F.log(F.lit(1.0) / (F.col("n") + F.lit(vocab))).alias("floor_logp"),
+        )
+        # dimension-scale (≤ top_k × n_langs rows): pin for the broadcast
+        .localCheckpoint()
+    )
+
+
+def classify_lang(df: DataFrame, profiles: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, text) → (id, lang_pred, lang_score) via Naive Bayes argmax."""
+    floors = profiles.select("lang", "floor_logp").distinct()
+    doc_tri = (
+        df.select(id_col, F.explode(char_trigrams(text_col)).alias("tri"))
+        .groupBy(id_col, "tri").agg(F.count("*").alias("c"))
+    )
+    n_tri = doc_tri.groupBy(id_col).agg(F.sum("c").alias("_n"))
+    matched = (
+        doc_tri.join(F.broadcast(profiles), "tri")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.col("c") * F.col("logp")).alias("_m"),
+             F.sum("c").alias("_mc"))
+    )
+    scored = (
+        matched.join(F.broadcast(floors), "lang")
+        .join(n_tri, id_col)
+        .select(
+            id_col, "lang",
+            (F.col("_m") + (F.col("_n") - F.col("_mc")) * F.col("floor_logp"))
+            .alias("score"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by("lang", F.struct(F.col("score"), F.col("lang")))
+        .alias("lang_pred"),
+        F.max("score").alias("lang_score"),
+    )

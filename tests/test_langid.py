@@ -1,0 +1,55 @@
+"""operators/langid: trainable char-trigram Naive Bayes language ID
+(the langdetect seam).  Synthetic 'languages' with distinct character
+distributions — the corpus lang column is label-only, so training data
+is built here."""
+
+import random
+
+from mmore_spark.operators.langid import classify_lang, train_langid
+
+
+def _sentence(rng, words, n=12):
+    return " ".join(rng.choice(words) for _ in range(n))
+
+_VOCABS = {
+    "aa": ["haus", "baum", "straße", "über", "schön", "zwölf", "grün"],
+    "bb": ["maison", "arbre", "été", "façon", "coeur", "très", "où"],
+    "cc": ["house", "tree", "summer", "heart", "very", "where", "green"],
+}
+
+
+def _corpus(seed, per_lang):
+    rng = random.Random(seed)
+    rows = []
+    for lang, words in _VOCABS.items():
+        for _ in range(per_lang):
+            rows.append((_sentence(rng, words), lang))
+    return rows
+
+
+def test_langid_train_and_classify(spark):
+    train = spark.createDataFrame(_corpus(1, 40), "text string, lang string")
+    profiles = train_langid(train, top_k=500)
+    assert {r["lang"] for r in profiles.select("lang").distinct().collect()} \
+        == set(_VOCABS)
+    test_rows = [(i, t, lg) for i, (t, lg) in enumerate(_corpus(2, 15))]
+    test = spark.createDataFrame(test_rows, "doc_id long, text string, lang string")
+    pred = classify_lang(test, profiles).join(test, "doc_id")
+    rows = pred.collect()
+    acc = sum(r["lang_pred"] == r["lang"] for r in rows) / len(rows)
+    assert acc >= 0.95, acc
+    assert all(r["lang_score"] < 0 for r in rows)  # log-likelihoods
+
+
+def test_langid_unseen_floor_prevents_small_profile_bias(spark):
+    """A language whose profile misses most of a doc's trigrams must pay
+    the floor per miss — a doc of pure 'cc' text scores higher under cc
+    than under aa even though both profiles contain SOME shared trigrams
+    (spaces)."""
+    train = spark.createDataFrame(_corpus(3, 40), "text string, lang string")
+    profiles = train_langid(train, top_k=500)
+    doc = spark.createDataFrame(
+        [(0, "house tree summer house green where very tree")],
+        "doc_id long, text string")
+    out = classify_lang(doc, profiles).collect()[0]
+    assert out["lang_pred"] == "cc"
