@@ -2639,3 +2639,94 @@ SELECT doc_id,
        CAST(3 AS BIGINT) AS n_frames
 FROM documents
 """)
+
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+def _kg_pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected entity graph (graph-analytics layer
+    beside degree/cooccurrence/triangles): each undirected pair edge
+    becomes two directed edges, so every node has out-degree ≥ 1 (no
+    dangling mass).  Fixed {iters} iterations, damping {damp}; each
+    iteration is one join + groupBy over the edge set with a
+    localCheckpoint lineage cut (the twophase-CC pattern).  Scores are
+    rounded to 6 decimals on BOTH sides — rank updates involve division,
+    so raw doubles would differ across engines at ~1e-15."""
+    t = _kg_triples_spark(spark, sf_dir)
+    und = (
+        t.select(F.least("subj", "obj").alias("a"),
+                 F.greatest("subj", "obj").alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct()
+    )
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst"))) \
+        .localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    contrib_base = edges.join(out_deg, "src")  # (src, dst, out_deg)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(_PR_ITERS):
+        inflow = (
+            contrib_base.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit((1.0 - _PR_DAMP) / n)
+                 + F.lit(_PR_DAMP) * F.coalesce(F.col("_in"), F.lit(0.0)))
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("node").alias("entity"),
+        F.round(F.col("rank"), 6).alias("pagerank"),
+    )
+
+
+_kg_pagerank_spark.__doc__ = _kg_pagerank_spark.__doc__.format(
+    iters=_PR_ITERS, damp=_PR_DAMP)
+
+
+def _kg_pagerank_duck() -> str:
+    inner = _kg_triples_sql(DUCK)
+    head = f"""
+WITH t AS (\n{inner}\n),
+und AS (
+    SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+    FROM t WHERE subj <> obj
+),
+edges AS (
+    SELECT a AS src, b AS dst FROM und
+    UNION ALL SELECT b, a FROM und
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+r{k} AS (
+    SELECT nd.node,
+           (1 - {_PR_DAMP}) / (SELECT n FROM nn)
+           + {_PR_DAMP} * COALESCE(s.inflow, 0) AS rank
+    FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / d.out_deg) AS inflow
+        FROM edges e
+        JOIN r{k - 1} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s ON s.node = nd.node
+)""")
+    return (head + "," + ",".join(steps)
+            + f"\nSELECT node AS entity, round(rank, 6) AS pagerank FROM r{_PR_ITERS}")
+
+
+_df_query("kg_pagerank", _kg_pagerank_spark, _kg_pagerank_duck())
