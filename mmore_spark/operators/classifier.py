@@ -23,15 +23,21 @@ from pyspark.sql import DataFrame, functions as F
 
 def _tokenize(df: DataFrame, text_col: str) -> DataFrame:
     """words + adjacent-word bigrams — fasttext's default wordNgrams=2
-    feature set, built natively."""
-    words = F.split(F.col(text_col), r"\s+")
-    bigrams = F.expr(
-        f"transform(slice(split({text_col}, '\\\\s+'), 1, "
-        f"greatest(size(split({text_col}, '\\\\s+')) - 1, 0)), "
-        f"(__w, __i) -> concat(__w, '_', element_at(split({text_col}, "
-        f"'\\\\s+'), __i + 2)))"
+    feature set, built natively.  The word array is materialized ONCE and
+    bigrams come from zip_with over two pre-sliced views: an expression
+    like ``split(text)`` inside the lambda would re-split the document
+    per element (O(words²) per doc — interpreted HOFs do not CSE across
+    the lambda boundary)."""
+    return (
+        df.withColumn("_w", F.split(F.col(text_col), r"\s+"))
+        .withColumn("_tokens", F.expr(
+            "concat(_w, zip_with("
+            "slice(_w, 1, greatest(size(_w) - 1, 0)), "
+            "slice(_w, 2, greatest(size(_w) - 1, 0)), "
+            "(__x, __y) -> concat(__x, '_', __y)))"
+        ))
+        .drop("_w")
     )
-    return df.withColumn("_tokens", F.concat(words, bigrams))
 
 
 def train_quality_classifier(labeled: DataFrame, text_col: str = "text",

@@ -41,6 +41,25 @@ def test_langid_train_and_classify(spark):
     assert all(r["lang_score"] < 0 for r in rows)  # log-likelihoods
 
 
+def test_trigrams_linear_on_long_doc(spark):
+    """O(chars²) regression guard: lower() inside the lambda or substring
+    seeks made ONE 340k-char doc take 272 s; the char-array shape must
+    stay in seconds."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mmore_spark.operators.langid import char_trigrams
+
+    big = " ".join(f"w{i}" for i in range(50000))
+    df = spark.createDataFrame([(big,)], ["text"])
+    df.count()
+    t0 = time.time()
+    n = df.select(F.size(char_trigrams("text")).alias("n")).collect()[0]["n"]
+    assert n == len(big) - 2
+    assert time.time() - t0 < 30
+
+
 def test_langid_unseen_floor_prevents_small_profile_bias(spark):
     """A language whose profile misses most of a doc's trigrams must pay
     the floor per miss — a doc of pure 'cc' text scores higher under cc
