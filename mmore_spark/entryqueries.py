@@ -338,12 +338,15 @@ def _tag_fingerprint_sql(d: Dialect) -> str:
     """Document fingerprint: min 60-bit hash over word 3-shingles (rolling-
     hash family; the single-permutation MinHash)."""
     if d.is_spark:
-        words = "split(text, ' ')"
-        n = f"size({words})"
+        # let-bind the word array via a 1-element outer transform:
+        # element_at(split(text), __i) INSIDE the lambda would re-split the
+        # document per shingle (O(words²) — no CSE across lambda bounds)
+        n = "size(split(text, ' '))"
         shingle = (
-            f"transform(sequence(1, {n} - 2), __i -> "
-            f"concat(element_at({words}, __i), ' ', element_at({words}, __i + 1), "
-            f"' ', element_at({words}, __i + 2)))"
+            "flatten(transform(array(split(text, ' ')), __ws -> "
+            "transform(sequence(1, size(__ws) - 2), __i -> "
+            "concat(element_at(__ws, __i), ' ', element_at(__ws, __i + 1), "
+            "' ', element_at(__ws, __i + 2)))))"
         )
         mins = f"array_min(transform({shingle}, __s -> {d.h60('__s')}))"
     else:

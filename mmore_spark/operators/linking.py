@@ -120,20 +120,6 @@ def names_match_udf():
     return pandas_udf(_match, "boolean")
 
 
-def minhash_signature_expr(tokens_expr: str, n_perm: int = N_PERMUTATIONS) -> "F.Column":
-    """array<long> of per-permutation min token hashes.
-
-    Raw SQL with explicit distinct lambda variable names (__p, __t) — see
-    the module NOTE; the hash matches hashing.h60_py(token, f"#perm{p}").
-    """
-    return F.expr(
-        f"transform(sequence(0, {n_perm - 1}), __p -> "
-        f"array_min(transform({tokens_expr}, __t -> "
-        f"cast(conv(substring(md5(concat(__t, '#perm', cast(__p as string))), 1, 15), "
-        f"16, 10) as bigint))))"
-    )
-
-
 def candidate_pairs(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:
     """names(name) → distinct (name_a < name_b) candidate pairs via LSH.
 
