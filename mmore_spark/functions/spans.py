@@ -65,28 +65,34 @@ def spans_from_text(text: Column, modalities: Column) -> Column:
     attachments produce adjacent media spans).  Pure array expressions.
     """
     segs = F.split(text, ATTACHMENT_TAG.replace("<", "\\<"), -1)
-    n = F.size(segs)
-    # positions 0..2n-2 alternate segment, modality, segment, ...
-    idx = F.sequence(F.lit(0), n * 2 - 2)
-    raw = F.transform(
-        idx,
-        fresh(lambda ivx: F.when(
-            ivx % 2 == 0,
-            F.struct(
-                F.lit("text").alias("kind"),
-                F.element_at(segs, (ivx / 2).cast("int") + 1).alias("text"),
-                F.lit(None).cast("string").alias("media_ref"),
-            ),
-        ).otherwise(
-            F.struct(
-                F.element_at(modalities, ((ivx - 1) / 2).cast("int") + 1)["kind"].alias("kind"),
-                F.lit(None).cast("string").alias("text"),
-                F.element_at(modalities, ((ivx - 1) / 2).cast("int") + 1)["media_ref"].alias(
-                    "media_ref"
+
+    def interleave(segs_b: Column) -> Column:
+        # positions 0..2n-2 alternate segment, modality, segment, ...
+        idx = F.sequence(F.lit(0), F.size(segs_b) * 2 - 2)
+        return F.transform(
+            idx,
+            fresh(lambda ivx: F.when(
+                ivx % 2 == 0,
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.element_at(segs_b, (ivx / 2).cast("int") + 1).alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
                 ),
-            )
-        )),
-    )
+            ).otherwise(
+                F.struct(
+                    F.element_at(modalities, ((ivx - 1) / 2).cast("int") + 1)["kind"]
+                    .alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.element_at(modalities, ((ivx - 1) / 2).cast("int") + 1)["media_ref"]
+                    .alias("media_ref"),
+                )
+            )),
+        )
+
+    # let-bind the split result: referencing `segs` inside the position
+    # lambda would re-split the full text once per position (no CSE across
+    # lambda boundaries — the O(n²) class fixed across the engine in r4)
+    raw = F.element_at(F.transform(F.array(segs), fresh(interleave)), 1)
     kept = F.filter(raw, fresh(
         lambda ksp: ~((ksp["kind"] == "text") & (F.length(ksp["text"]) == 0))))
     return F.transform(
