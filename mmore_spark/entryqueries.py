@@ -2733,3 +2733,81 @@ r{k} AS (
 
 
 _df_query("kg_pagerank", _kg_pagerank_spark, _kg_pagerank_duck())
+
+
+def _tag_langid_nb_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable char-trigram Naive Bayes language ID under the oracle
+    gate (operators/langid — the langdetect seam): train profiles on the
+    even-doc_id half of the corpus using its lang labels, classify the
+    odd half, and value-match prediction AND rounded log-likelihood
+    against a full SQL re-derivation of the same estimator (counts →
+    Laplace log-probs → per-(doc, lang) likelihood with unseen-trigram
+    floor → deterministic argmax).  The corpus lang label is independent
+    of the text, so predictions are semantically arbitrary — but both
+    engines must agree on every value, which is exactly the dual-engine
+    contract."""
+    from .operators.langid import classify_lang, train_langid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    profiles = train_langid(train, top_k=1 << 30)
+    out = classify_lang(test, profiles)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang_pred",
+        F.round(F.col("lang_score"), 6).alias("lang_score"),
+    )
+
+
+def _tag_langid_nb_duck() -> str:
+    return """
+WITH tri_train AS (
+    SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+           __i -> substring(lower(text), CAST(__i AS INT), 3))) AS tri
+    FROM documents WHERE doc_id % 2 = 0
+),
+counts AS (SELECT lang, tri, count(*) AS c FROM tri_train GROUP BY 1, 2),
+vocab AS (SELECT count(DISTINCT tri) AS v FROM counts),
+totals AS (SELECT lang, sum(c) AS n FROM counts GROUP BY 1),
+profiles AS (
+    SELECT counts.lang, tri,
+           ln((c + 1.0) / (n + (SELECT v FROM vocab))) AS logp
+    FROM counts JOIN totals ON counts.lang = totals.lang
+),
+floors AS (
+    SELECT lang, ln(1.0 / (n + (SELECT v FROM vocab))) AS floor_logp
+    FROM totals
+),
+doc_tri AS (
+    SELECT doc_id, tri, count(*) AS c FROM (
+        SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+               __i -> substring(lower(text), CAST(__i AS INT), 3))) AS tri
+        FROM documents WHERE doc_id % 2 = 1
+    ) t GROUP BY 1, 2
+),
+ntri AS (SELECT doc_id, sum(c) AS n FROM doc_tri GROUP BY 1),
+matched AS (
+    SELECT d.doc_id, p.lang, sum(d.c * p.logp) AS m, sum(d.c) AS mc
+    FROM doc_tri d JOIN profiles p ON d.tri = p.tri
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT m.doc_id, m.lang,
+           m.m + (n.n - m.mc) * f.floor_logp AS score
+    FROM matched m JOIN floors f ON m.lang = f.lang
+    JOIN ntri n ON n.doc_id = m.doc_id
+),
+ranked AS (
+    SELECT doc_id, lang, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang DESC) AS rk
+    FROM scored
+)
+SELECT doc_id, lang AS lang_pred, round(score, 6) AS lang_score
+FROM ranked WHERE rk = 1
+"""
+
+
+_df_query("tag_langid_nb", _tag_langid_nb_spark, _tag_langid_nb_duck())
