@@ -129,14 +129,14 @@ def apply_pp_modules(df: DataFrame, modules: list[dict]) -> DataFrame:
                 df = df.withColumn("modalities", F.expr(
                     "CAST(array() AS array<struct<kind:string,"
                     "media_ref:string>>)"))
+            idc = _id_col(df)
             keep = df.drop("text", "modalities")
             chunks = chunk_stage(
-                df.withColumnRenamed(_id_col(df), "doc_id")
-                if _id_col(df) != "doc_id" else df,
+                df.withColumnRenamed(idc, "doc_id") if idc != "doc_id" else df,
                 chunk_size=size, strategy=strategy)
-            df = chunks.join(
-                keep.withColumnRenamed(_id_col(keep), "doc_id")
-                if _id_col(keep) != "doc_id" else keep, "doc_id")
+            chunks = (chunks.withColumnRenamed("doc_id", idc)
+                      if idc != "doc_id" else chunks)
+            df = chunks.join(keep, idc)
         elif mtype == "translator":
             if "lang" not in df.columns:
                 df = TG.apply_taggers(df, TG.lang_heuristic().alias("lang"))
