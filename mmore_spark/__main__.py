@@ -1,0 +1,50 @@
+"""CLI mirroring the reference's verbs (``mmore process --config-file``,
+``mmore postprocess``; run_process.py / run_pp.py):
+
+    python -m mmore_spark process    --config-file process.yaml
+    python -m mmore_spark postprocess --config-file pp.yaml --input out/
+
+Under spark-submit the same module is the application script:
+
+    spark-submit --py-files mmore_spark.zip -m ... (or scripts/submit.sh
+    for the KG pipeline path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mmore_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sp = sub.add_parser("process", help="crawl + route + parse data_path")
+    sp.add_argument("--config-file", required=True)
+    sq = sub.add_parser("postprocess", help="apply a pp_modules chain")
+    sq.add_argument("--config-file", required=True)
+    sq.add_argument("--input", required=True,
+                    help="parquet of processed samples (process output)")
+    a = p.parse_args(argv)
+
+    from .plans import config as C
+    from .session import get_spark
+
+    spark = get_spark(f"mmore-{a.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = C.load_config(a.config_file)
+    if a.cmd == "process":
+        out = C.run_process(spark, cfg)
+        errors = out.filter("error IS NOT NULL").count()
+        print(json.dumps({"cmd": "process", "rows": out.count(),
+                          "errors": errors}))
+    else:
+        df = spark.read.parquet(a.input)
+        out = C.run_postprocess(df, cfg)
+        print(json.dumps({"cmd": "postprocess", "rows": out.count(),
+                          "columns": out.columns}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -87,6 +87,35 @@ def test_run_process_config(spark, tmp_path):
         CFG.apply_pp_modules(out, [{"type": "filter_fasttext"}])
 
 
+def test_cli_process_then_postprocess(spark, tmp_path):
+    """The reference's CLI verbs end-to-end: process a directory via a
+    YAML config, then run a pp chain over the parquet output."""
+    import yaml
+
+    from mmore_spark.__main__ import main
+
+    d = tmp_path / "data"
+    os.makedirs(d)
+    (d / "doc.txt").write_text("the quick brown fox jumps over the dog.")
+    outp = str(tmp_path / "processed")
+    pcfg = tmp_path / "process.yaml"
+    pcfg.write_text(yaml.safe_dump(
+        {"data_path": str(d), "dispatcher_config": {"output_path": outp}}))
+    assert main(["process", "--config-file", str(pcfg)]) == 0
+
+    merged = str(tmp_path / "merged")
+    qcfg = tmp_path / "pp.yaml"
+    qcfg.write_text(yaml.safe_dump({
+        "pp_modules": [{"type": "file_namer"}, {"type": "words_counter"}],
+        "output": {"output_path": merged},
+    }))
+    assert main(["postprocess", "--config-file", str(qcfg),
+                 "--input", outp]) == 0
+    got = spark.read.parquet(merged).collect()
+    assert got[0]["file_name"] == "doc.txt"
+    assert got[0]["word_count"] == 8
+
+
 def test_filter_unigram_logprob_module(spark):
     mods = [{"type": "filter_unigram-logprob",
              "args": {"logprobs_threshold": -0.2}}]
