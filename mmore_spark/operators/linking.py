@@ -120,11 +120,26 @@ def names_match_udf():
     return pandas_udf(_match, "boolean")
 
 
-def candidate_pairs(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:
+# Full-pair cutover for one (perm, minv) bucket in the name LSH; larger
+# buckets emit star edges to the bucket min (k−1 rows instead of k²/2 —
+# the operators/dedup.candidate_edges decision applied to the name path,
+# VERDICT r03 #3).  A bucket this size is overwhelmingly a same-token-set
+# name family (permuted word orders), where names_match verifies every
+# pair anyway, so the star keeps the connected components exact; for a
+# mixed bucket (dissimilar names sharing one min-hash token) only
+# same-bucket matches that bypass the bucket min are forfeited — pairs a
+# production run at this bucket size could not afford to enumerate.
+MAX_NAME_BUCKET = 4096
+
+
+def candidate_pairs(names: DataFrame, n_perm: int = N_PERMUTATIONS,
+                    max_bucket: int = MAX_NAME_BUCKET) -> DataFrame:
     """names(name) → distinct (name_a < name_b) candidate pairs via LSH.
 
     Self-join key = (permutation index, min-hash value): uniform hash
-    domain, so no skewed join keys regardless of token distribution.
+    domain, so no skewed join keys regardless of token distribution —
+    but a duplicate NAME FAMILY shares whole buckets, hence the
+    ``max_bucket`` star fallback above.
 
     The signature is computed in one Arrow-batched stage with hashlib —
     byte-identical to hashing.h60_py, immune to the Catalyst HOF pitfalls
@@ -168,8 +183,11 @@ def candidate_pairs(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame
         .persist()
     )
     sig.count()
-    left = sig.alias("a")
-    right = sig.alias("b")
+    sizes = sig.groupBy("perm", "minv").agg(F.count("*").alias("_k"))
+    big_keys = sizes.filter(F.col("_k") > max_bucket).select("perm", "minv")
+    normal = sig.join(F.broadcast(big_keys), ["perm", "minv"], "left_anti")
+    left = normal.alias("a")
+    right = normal.alias("b")
     pairs = (
         left.join(
             right,
@@ -178,12 +196,22 @@ def candidate_pairs(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame
             & (F.col("a.name") < F.col("b.name")),
         )
         .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+    )
+    fam = sig.join(F.broadcast(big_keys), ["perm", "minv"], "left_semi")
+    mins = fam.groupBy("perm", "minv").agg(F.min("name").alias("_m"))
+    stars = (
+        fam.join(F.broadcast(mins), ["perm", "minv"])
+        .filter(F.col("name") != F.col("_m"))
+        .select(F.col("_m").alias("name_a"), F.col("name").alias("name_b"))
+    )
+    out = (
+        pairs.unionByName(stars)
         .distinct()
         # materialize the (small) pair set so the signature cache can be freed
         .localCheckpoint()
     )
     sig.unpersist()
-    return pairs
+    return out
 
 
 def match_edges(names: DataFrame, n_perm: int = N_PERMUTATIONS) -> DataFrame:

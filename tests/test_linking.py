@@ -93,6 +93,40 @@ def test_lsh_candidates_superset_of_er_matches_full_vocab(spark):
     assert not missed, sorted(missed)[:10]
 
 
+def test_candidate_pairs_bucket_cap_star_grouping(spark):
+    """VERDICT r03 #3, name path: a same-token-set name family (permuted
+    word orders) shares every (perm, minv) bucket; over the cap the join
+    emits k-1 star rows instead of k(k-1)/2 pairs, and because
+    names_match verifies every same-token-set pair, the connected
+    components are IDENTICAL to the uncapped plan."""
+    import itertools
+
+    fam = [" ".join(p) for p in itertools.permutations(
+        ["ACME", "GLOBAL", "CORP"])]  # 6 names, one token set
+    others = ["ZEBRA HOLDINGS", "YONDER TRUST"]
+    nodes = spark.createDataFrame([(n,) for n in fam + others], ["name"])
+
+    unc = {tuple(r) for r in linking.candidate_pairs(
+        nodes, max_bucket=1 << 30).collect()}
+    cap = {tuple(r) for r in linking.candidate_pairs(
+        nodes, max_bucket=4).collect()}
+    assert len(unc) >= 15                      # full family pairs
+    assert len(cap) < len(unc)                 # linearized
+    m = min(fam)
+    assert all(a == m for a, b in cap if a in fam and b in fam)
+    # grouping semantics: identical components either way
+    for pairs in (unc, cap):
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in pairs], ["name_a", "name_b"])
+        verified = edges.filter(
+            linking.names_match_udf()(F.col("name_a"), F.col("name_b")))
+        comps = {r["name"]: r["component"] for r in
+                 linking.connected_components(nodes, verified).collect()}
+        assert len({comps[n] for n in fam}) == 1
+        assert comps[others[0]] != comps[fam[0]]
+        assert comps[others[0]] != comps[others[1]]
+
+
 def test_connected_components_chain(spark):
     nodes = spark.createDataFrame([(n,) for n in "ABCDEFG"], ["name"])
     edges = spark.createDataFrame(
