@@ -858,6 +858,102 @@ def _pdf_decode_stream(head: bytes, raw: bytes) -> bytes | None:
     return raw
 
 
+# PDF 32000-1 §7.6.3 standard security handler password padding
+_PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (KSA + PRGA) — the stdlib has no RC4; ~40 lines of
+    arithmetic is all PDF R2/R3 encryption needs."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _pdf_str_value(body: bytes, name: bytes) -> bytes:
+    """Raw bytes of a dict entry that is a PDF string (literal or hex)."""
+    m = re.search(rb"/" + name + rb"\s*", body)
+    if not m:
+        return b""
+    i = m.end()
+    if body[i:i + 1] == b"(":
+        s, _ = _pdf_literal(body, i)
+        return s.encode("latin-1")
+    if body[i:i + 1] == b"<":
+        j = body.find(b">", i)
+        hx = body[i + 1:j].translate(None, b" \r\n\t")
+        return bytes.fromhex(hx.decode("ascii"))
+    return b""
+
+
+def _pdf_decrypt_setup(payload: bytes, bodies: "dict[int, bytes]"):
+    """Detect /Encrypt and, for the RC4 standard handler (R2/R3) with an
+    EMPTY user password — the common owner-locked case — return a
+    ``decrypt(objnum, gen, data)`` callable (PDF 32000-1 §7.6.2-7.6.3:
+    file key from O/P/ID, per-object RC4 key from objnum/gen).  AES
+    (V≥4) needs a cipher the stdlib lacks; a real user password cannot
+    be guessed: both raise per file."""
+    import hashlib
+    import struct
+
+    m = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload)
+    if not m:
+        return None
+    enc = bodies.get(int(m.group(1)), b"")
+    if not re.search(rb"/Filter\s*/Standard\b", enc):
+        raise NotImplementedError("pdf: non-standard security handler")
+    mv = re.search(rb"/V\s+(\d+)", enc)
+    if mv and int(mv.group(1)) > 2:
+        raise NotImplementedError(
+            "pdf: AES encryption (V>=4) needs a crypto library")
+    mr = re.search(rb"/R\s+(\d+)", enc)
+    r = int(mr.group(1)) if mr else 2
+    ml = re.search(rb"/Length\s+(\d+)", enc)
+    n = (int(ml.group(1)) if ml else 40) // 8
+    o_entry = _pdf_str_value(enc, b"O")
+    u_entry = _pdf_str_value(enc, b"U")
+    p_val = int(re.search(rb"/P\s+(-?\d+)", enc).group(1))
+    mid = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", payload)
+    id0 = bytes.fromhex(mid.group(1).decode("ascii")) if mid else b""
+
+    digest = hashlib.md5(_PDF_PAD + o_entry[:32]
+                         + struct.pack("<i", p_val) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:n]).digest()
+    key = digest[:n]
+    if r == 2:
+        ok = _rc4(key, _PDF_PAD) == u_entry[:32]
+    else:
+        d = _rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+        for i in range(1, 20):
+            d = _rc4(bytes(b ^ i for b in key), d)
+        ok = d == u_entry[:16]
+    if not ok:
+        raise NotImplementedError(
+            "pdf: password-protected (non-empty user password)")
+
+    def decrypt(num: int, gen: int, data: bytes) -> bytes:
+        k = hashlib.md5(key + struct.pack("<i", num)[:3]
+                        + struct.pack("<i", gen)[:2]).digest()
+        return _rc4(k[:min(n + 5, 16)], data)
+
+    return decrypt
+
+
 def _pdf_objstm_objects(head: bytes, raw: bytes) -> "dict[int, bytes]":
     """Expand a /Type /ObjStm object stream (PDF 1.5 §7.5.7): the first
     /First bytes hold N ``objnum offset`` pairs; the rest holds the
@@ -1004,6 +1100,13 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
     obj_headers = [(m.start(), int(m.group(1)), m.end())
                    for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b", payload)]
     obj_offsets = [o for o, _n, _e in obj_headers]
+    obj_gens = {int(m.group(1)): int(m.group(2))
+                for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", payload)}
+
+    # encryption must be resolved BEFORE stream decode (RC4 wraps the
+    # filtered bytes); the /Encrypt dict is always a top-level object
+    bodies0, _ = _pdf_collect_bodies(payload, obj_headers)
+    decrypt = _pdf_decrypt_setup(payload, bodies0)
 
     # pass 1 — scan every stream: (offset, objnum, head, decoded bytes)
     streams: list[tuple[int, int | None, bytes, bytes | None]] = []
@@ -1037,9 +1140,11 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
         if re.search(rb"/Subtype\s*/Image\b", head):
             n_images += 1  # image XObject: keep the ref, never the pixels
             continue
-        raw = _pdf_decode_stream(head, raw)
         k = bisect.bisect_right(obj_offsets, m.start()) - 1
         objnum = obj_headers[k][1] if k >= 0 else None
+        if decrypt is not None and objnum is not None:
+            raw = decrypt(objnum, obj_gens.get(objnum, 0), raw)
+        raw = _pdf_decode_stream(head, raw)
         streams.append((m.start(), objnum, head, raw))
 
     # pass 2 — structure: ObjStm expansion, page tree, per-page fonts

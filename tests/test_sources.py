@@ -412,6 +412,51 @@ def test_parse_pdf_objstm_with_png_predictor():
     assert text == "Pred" and refs == []
 
 
+def test_parse_pdf_rc4_encrypted_empty_user_password():
+    """Round 4: RC4 standard-handler PDFs (R2/40-bit) with an EMPTY user
+    password — the common owner-locked case — decrypt with the stdlib;
+    a non-empty user password raises per file."""
+    import hashlib
+    import struct
+
+    from mmore_spark.sources.registry import _PDF_PAD, _rc4
+
+    def pad(pw: bytes) -> bytes:
+        return (pw + _PDF_PAD)[:32]
+
+    id0 = bytes(range(16))
+    o_entry = _rc4(hashlib.md5(pad(b"owner")).digest()[:5], pad(b""))
+    p_val = -1
+    key = hashlib.md5(_PDF_PAD + o_entry + struct.pack("<i", p_val)
+                      + id0).digest()[:5]
+    u_entry = _rc4(key, _PDF_PAD)
+
+    def obj_key(num):
+        return hashlib.md5(key + struct.pack("<i", num)[:3]
+                           + b"\x00\x00").digest()[:10]
+
+    content = b"BT 72 720 Td (Secret text) Tj ET"
+    enc_stream = _rc4(obj_key(1), content)
+    body = (
+        b"%PDF-1.4\n"
+        + _streamobj(1, enc_stream)
+        + b"9 0 obj << /Filter /Standard /V 1 /R 2 /O <"
+        + o_entry.hex().encode() + b"> /U <" + u_entry.hex().encode()
+        + b"> /P -1 >> endobj\n"
+        + b"trailer << /Encrypt 9 0 R /ID [<" + id0.hex().encode()
+        + b"> <" + id0.hex().encode() + b">] >>\n%%EOF\n"
+    )
+    text, refs = registry.parse_pdf("/m/enc.pdf", body)
+    assert text == "Secret text" and refs == []
+
+    # wrong /U (a real user password we cannot guess) raises per file
+    bad = body.replace(u_entry.hex().encode(), (b"00" * 32))
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        registry.parse_pdf("/m/locked.pdf", bad)
+
+
 def test_parse_pdf_cid_tounicode():
     """CID text with a ToUnicode CMap must decode through the map: 2-byte
     hex codes via bfchar, bfrange (start-offset AND array forms), and a
