@@ -916,9 +916,16 @@ def _pdf_decrypt_setup(payload: bytes, bodies: "dict[int, bytes]"):
     if not re.search(rb"/Filter\s*/Standard\b", enc):
         raise NotImplementedError("pdf: non-standard security handler")
     mv = re.search(rb"/V\s+(\d+)", enc)
-    if mv and int(mv.group(1)) > 2:
+    v = int(mv.group(1)) if mv else 0
+    aes = False
+    if v == 4:
+        if re.search(rb"/CFM\s*/AESV2\b", enc):
+            aes = True  # AES-128-CBC via the stdlib cipher (aes128.py)
+        elif not re.search(rb"/CFM\s*/V2\b", enc):
+            raise NotImplementedError("pdf: unsupported V4 crypt filter")
+    elif v > 4:
         raise NotImplementedError(
-            "pdf: AES encryption (V>=4) needs a crypto library")
+            "pdf: AES-256 (V5/R6) uses the SHA-2 handler — unsupported")
     mr = re.search(rb"/R\s+(\d+)", enc)
     r = int(mr.group(1)) if mr else 2
     ml = re.search(rb"/Length\s+(\d+)", enc)
@@ -947,9 +954,15 @@ def _pdf_decrypt_setup(payload: bytes, bodies: "dict[int, bytes]"):
             "pdf: password-protected (non-empty user password)")
 
     def decrypt(num: int, gen: int, data: bytes) -> bytes:
+        salt = b"sAlT" if aes else b""  # §7.6.2 step (b): AES adds sAlT
         k = hashlib.md5(key + struct.pack("<i", num)[:3]
-                        + struct.pack("<i", gen)[:2]).digest()
-        return _rc4(k[:min(n + 5, 16)], data)
+                        + struct.pack("<i", gen)[:2] + salt).digest()
+        k = k[:min(n + 5, 16)]
+        if aes:
+            from .aes128 import cbc_decrypt
+
+            return cbc_decrypt(k, data)
+        return _rc4(k, data)
 
     return decrypt
 

@@ -24,6 +24,31 @@ def test_lzw_roundtrip(data):
     assert _pdf_lzw_decode(_lzw_encode(data)) == data
 
 
+def test_aes128_fips_and_nist_vectors():
+    """The stdlib AES-128 inverse cipher against published vectors:
+    FIPS-197 appendix C.1 and NIST SP800-38A CBC block 1."""
+    from mmore_spark.sources.aes128 import decrypt_block
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert decrypt_block(key, ct).hex() == \
+        "00112233445566778899aabbccddeeff"
+    key2 = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    ct2 = bytes.fromhex("7649abac8119b246cee98e9b12e9197d")
+    got = bytes(x ^ y for x, y in zip(decrypt_block(key2, ct2), iv))
+    assert got.hex() == "6bc1bee22e409f96e93d7e117393172a"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=16, max_size=16), st.binary(min_size=16, max_size=16))
+def test_aes128_block_roundtrip(key, block):
+    from mmore_spark.sources.aes128 import decrypt_block
+    from tests.test_sources import _aes_encrypt_block
+
+    assert decrypt_block(key, _aes_encrypt_block(key, block)) == block
+
+
 def _png_predict_forward(data: bytes, columns: int, ftypes) -> bytes:
     """Apply PNG row filters forward (the inverse of _png_unpredict)."""
     out = bytearray()

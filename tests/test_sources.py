@@ -457,6 +457,96 @@ def test_parse_pdf_rc4_encrypted_empty_user_password():
         registry.parse_pdf("/m/locked.pdf", bad)
 
 
+def _aes_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """Forward AES-128 (test-side only — the engine only decrypts)."""
+    from mmore_spark.sources.aes128 import _SBOX, _expand_key, _mul
+
+    rk = _expand_key(key)
+    st = bytearray(x ^ y for x, y in zip(block, rk[0]))
+
+    def shift_sub(s):
+        s = bytearray(_SBOX[b] for b in s)
+        for r in range(1, 4):
+            row = [s[r + 4 * c] for c in range(4)]
+            row = row[r:] + row[:r]
+            for c in range(4):
+                s[r + 4 * c] = row[c]
+        return s
+
+    for rnd in range(1, 10):
+        st = shift_sub(st)
+        mixed = bytearray(16)
+        for c in range(4):
+            a = st[4 * c:4 * c + 4]
+            mixed[4 * c + 0] = _mul(a[0], 2) ^ _mul(a[1], 3) ^ a[2] ^ a[3]
+            mixed[4 * c + 1] = a[0] ^ _mul(a[1], 2) ^ _mul(a[2], 3) ^ a[3]
+            mixed[4 * c + 2] = a[0] ^ a[1] ^ _mul(a[2], 2) ^ _mul(a[3], 3)
+            mixed[4 * c + 3] = _mul(a[0], 3) ^ a[1] ^ a[2] ^ _mul(a[3], 2)
+        st = bytearray(x ^ y for x, y in zip(mixed, rk[rnd]))
+    st = shift_sub(st)
+    return bytes(x ^ y for x, y in zip(st, rk[10]))
+
+
+def test_parse_pdf_aesv2_encrypted_empty_user_password():
+    """Round 4: V4 /AESV2 PDFs (AES-128-CBC, the Acrobat/Office default)
+    with an empty user password decrypt via the stdlib cipher."""
+    import hashlib
+    import struct
+
+    from mmore_spark.sources.registry import _PDF_PAD, _rc4
+
+    def pad(pw: bytes) -> bytes:
+        return (pw + _PDF_PAD)[:32]
+
+    n = 16
+    id0 = bytes(range(16, 32))
+    # Algorithm 3 (R>=3): O entry from the owner password
+    ok = hashlib.md5(pad(b"owner")).digest()
+    for _ in range(50):
+        ok = hashlib.md5(ok[:n]).digest()
+    ok = ok[:n]
+    o_entry = _rc4(ok, pad(b""))
+    for i in range(1, 20):
+        o_entry = _rc4(bytes(b ^ i for b in ok), o_entry)
+    p_val = -3904
+    key = hashlib.md5(_PDF_PAD + o_entry + struct.pack("<i", p_val)
+                      + id0).digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    # Algorithm 5 (R>=3): U entry
+    u = _rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u_entry = u + b"\x00" * 16
+
+    content = b"BT 72 720 Td (Aes secret) Tj ET"
+    okey = hashlib.md5(key + struct.pack("<i", 1)[:3] + b"\x00\x00"
+                       + b"sAlT").digest()[:16]
+    iv = bytes(range(65, 81))
+    padlen = 16 - len(content) % 16
+    plain = content + bytes([padlen]) * padlen
+    ct = b""
+    prev = iv
+    for i in range(0, len(plain), 16):
+        blk = bytes(x ^ y for x, y in zip(plain[i:i + 16], prev))
+        prev = _aes_encrypt_block(okey, blk)
+        ct += prev
+    enc_stream = iv + ct
+    body = (
+        b"%PDF-1.6\n"
+        + _streamobj(1, enc_stream)
+        + b"9 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 "
+        + b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF "
+        + b"/O <" + o_entry.hex().encode() + b"> /U <"
+        + u_entry.hex().encode() + b"> /P -3904 >> endobj\n"
+        + b"trailer << /Encrypt 9 0 R /ID [<" + id0.hex().encode()
+        + b"> <" + id0.hex().encode() + b">] >>\n%%EOF\n"
+    )
+    text, refs = registry.parse_pdf("/m/aes.pdf", body)
+    assert text == "Aes secret" and refs == []
+
+
 def test_parse_pdf_cid_tounicode():
     """CID text with a ToUnicode CMap must decode through the map: 2-byte
     hex codes via bfchar, bfrange (start-offset AND array forms), and a
