@@ -2668,6 +2668,9 @@ def _kg_pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
+    if n == 0:  # no non-self edges: empty result, not ZeroDivisionError
+        return spark.createDataFrame(
+            [], "entity string, pagerank double")
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     contrib_base = edges.join(out_deg, "src")  # (src, dst, out_deg)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))

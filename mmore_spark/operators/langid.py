@@ -29,11 +29,15 @@ def char_trigrams(text_col: str) -> F.Column:
     lambda (no CSE across lambda boundaries) and ``substring(__lt, i, 3)``
     (UTF-8 seek from the string start per call) are O(chars²) per doc;
     measured 272 s for ONE 340k-char doc vs 1.3 s with this shape."""
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs under
+    # 3 chars must short-circuit to array() or element_at goes out of
+    # bounds (throws under ANSI mode)
     return F.expr(
         f"flatten(transform(array(split(lower({text_col}), '')), __ch -> "
-        f"transform(sequence(1, greatest(size(__ch) - 2, 0)), "
+        f"if(size(__ch) < 3, array(), "
+        f"transform(sequence(1, size(__ch) - 2), "
         f"__ti -> concat(element_at(__ch, __ti), "
-        f"element_at(__ch, __ti + 1), element_at(__ch, __ti + 2)))))"
+        f"element_at(__ch, __ti + 1), element_at(__ch, __ti + 2))))))"
     )
 
 
@@ -69,7 +73,14 @@ def train_langid(labeled: DataFrame, text_col: str = "text",
 
 def classify_lang(df: DataFrame, profiles: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, text) → (id, lang_pred, lang_score) via Naive Bayes argmax."""
+    """(id, text) → (id, lang_pred, lang_score) via Naive Bayes argmax.
+
+    Every input id appears in the output (ADVICE r04: the inner-join
+    shape silently dropped docs whose trigrams hit no profile, e.g. an
+    unseen script): no-hit docs are charged the floor for all n trigrams
+    — argmax of n·floor over languages is the max-floor language since
+    floors are negative — and docs too short to yield a trigram get a
+    null prediction."""
     floors = profiles.select("lang", "floor_logp").distinct()
     doc_tri = (
         df.select(id_col, F.explode(char_trigrams(text_col)).alias("tri"))
@@ -91,8 +102,22 @@ def classify_lang(df: DataFrame, profiles: DataFrame,
             .alias("score"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    preds = scored.groupBy(id_col).agg(
         F.max_by("lang", F.struct(F.col("score"), F.col("lang")))
         .alias("lang_pred"),
         F.max("score").alias("lang_score"),
     )
+    best_floor = floors.orderBy(F.desc("floor_logp"), F.asc("lang")).limit(1)
+    no_hits = (
+        n_tri.join(preds.select(id_col), id_col, "left_anti")
+        .crossJoin(F.broadcast(best_floor))
+        .select(id_col, F.col("lang").alias("lang_pred"),
+                (F.col("_n") * F.col("floor_logp")).alias("lang_score"))
+    )
+    no_tri = (
+        df.select(id_col).distinct()
+        .join(n_tri.select(id_col), id_col, "left_anti")
+        .select(id_col, F.lit(None).cast("string").alias("lang_pred"),
+                F.lit(None).cast("double").alias("lang_score"))
+    )
+    return preds.unionByName(no_hits).unionByName(no_tri)

@@ -752,7 +752,11 @@ def _pdf_lzw_decode(data: bytes, early: int = 1) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # Standard rule (pdfminer/pdf.js/Ghostscript): with EarlyChange=1
+            # the decoder widens when the NEXT table entry would need more
+            # bits, i.e. at table sizes 511/1023/2047 — one earlier than the
+            # table-full point the naive reading suggests.
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 
@@ -903,9 +907,9 @@ def _pdf_decrypt_setup(payload: bytes, bodies: "dict[int, bytes]"):
     """Detect /Encrypt and, for the RC4 standard handler (R2/R3) with an
     EMPTY user password — the common owner-locked case — return a
     ``decrypt(objnum, gen, data)`` callable (PDF 32000-1 §7.6.2-7.6.3:
-    file key from O/P/ID, per-object RC4 key from objnum/gen).  AES
-    (V≥4) needs a cipher the stdlib lacks; a real user password cannot
-    be guessed: both raise per file."""
+    file key from O/P/ID, per-object RC4 key from objnum/gen).  V4
+    /AESV2 is handled via the stdlib cipher (aes128.py); AES-256
+    (V5/R6) and a real user password raise per file."""
     import hashlib
     import struct
 
@@ -928,8 +932,28 @@ def _pdf_decrypt_setup(payload: bytes, bodies: "dict[int, bytes]"):
             "pdf: AES-256 (V5/R6) uses the SHA-2 handler — unsupported")
     mr = re.search(rb"/R\s+(\d+)", enc)
     r = int(mr.group(1)) if mr else 2
-    ml = re.search(rb"/Length\s+(\d+)", enc)
+    # /Length must come from the TOP-LEVEL encrypt dict (bits), never from
+    # a /CF crypt-filter sub-dict (whose /Length is in BYTES and may appear
+    # first — PDF dict key order is arbitrary).  Strip the balanced /CF
+    # dictionary before matching.
+    enc_top = enc
+    mcf = re.search(rb"/CF\s*<<", enc_top)
+    if mcf:
+        i, depth = mcf.end(), 1
+        while depth and i < len(enc_top) - 1:
+            if enc_top[i:i + 2] == b"<<":
+                depth += 1
+                i += 2
+            elif enc_top[i:i + 2] == b">>":
+                depth -= 1
+                i += 2
+            else:
+                i += 1
+        enc_top = enc_top[:mcf.start()] + enc_top[i:]
+    ml = re.search(rb"/Length\s+(\d+)", enc_top)
     n = (int(ml.group(1)) if ml else 40) // 8
+    if aes:
+        n = 16  # AES-128 (/AESV2) keys are always 128-bit
     o_entry = _pdf_str_value(enc, b"O")
     u_entry = _pdf_str_value(enc, b"U")
     p_val = int(re.search(rb"/P\s+(-?\d+)", enc).group(1))
@@ -987,7 +1011,7 @@ def _pdf_objstm_objects(head: bytes, raw: bytes) -> "dict[int, bytes]":
 
 
 def _pdf_collect_bodies(payload: bytes,
-                        obj_headers: list[tuple[int, int, int]],
+                        obj_headers: list[tuple[int, int, int, int]],
                         extra: "dict[int, bytes] | None" = None
                         ) -> tuple[dict[int, bytes], dict[int, int]]:
     """objnum → body bytes for every top-level object, merged with
@@ -995,7 +1019,7 @@ def _pdf_collect_bodies(payload: bytes,
     top-level set for the file-order page fallback)."""
     bodies: dict[int, bytes] = {}
     obj_offset: dict[int, int] = {}
-    for off, num, hend in obj_headers:
+    for off, num, hend, _gen in obj_headers:
         end = payload.find(b"endobj", hend)
         bodies.setdefault(num, payload[hend:end if end != -1 else len(payload)])
         obj_offset.setdefault(num, off)
@@ -1110,11 +1134,13 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
     # stream be attributed to its owning object so /Page /Contents can be
     # resolved (ADVICE r03: one page commonly holds a /Contents ARRAY of
     # several streams; a marker per stream split such pages)
-    obj_headers = [(m.start(), int(m.group(1)), m.end())
-                   for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b", payload)]
-    obj_offsets = [o for o, _n, _e in obj_headers]
-    obj_gens = {int(m.group(1)): int(m.group(2))
-                for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", payload)}
+    # gen travels WITH the header so the per-object decryption key for a
+    # stream always uses the generation of the revision that physically
+    # contains it (ADVICE r04: a global objnum→gen map could pair an old
+    # body with a newer revision's gen in incrementally-updated files)
+    obj_headers = [(m.start(), int(m.group(1)), m.end(), int(m.group(2)))
+                   for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", payload)]
+    obj_offsets = [o for o, _n, _e, _g in obj_headers]
 
     # encryption must be resolved BEFORE stream decode (RC4 wraps the
     # filtered bytes); the /Encrypt dict is always a top-level object
@@ -1156,7 +1182,7 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
         k = bisect.bisect_right(obj_offsets, m.start()) - 1
         objnum = obj_headers[k][1] if k >= 0 else None
         if decrypt is not None and objnum is not None:
-            raw = decrypt(objnum, obj_gens.get(objnum, 0), raw)
+            raw = decrypt(objnum, obj_headers[k][3], raw)
         raw = _pdf_decode_stream(head, raw)
         streams.append((m.start(), objnum, head, raw))
 

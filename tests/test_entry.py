@@ -69,3 +69,15 @@ def test_pipeline_queries_run(spark):
     t = qs["kg_pipeline_triples"](spark, SF_DIR)
     e = qs["kg_pipeline_entities"](spark, SF_DIR)
     assert t.count() > 0 and e.count() > 0
+
+
+def test_pagerank_empty_graph_returns_empty(spark, tmp_path):
+    """ADVICE r04: an empty triple graph must yield an empty (entity,
+    pagerank) result, not ZeroDivisionError at plan-build time."""
+    from mmore_spark.entryqueries import _kg_pagerank_spark
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    empty.write.parquet(str(tmp_path / "documents.parquet"))
+    out = _kg_pagerank_spark(spark, str(tmp_path))
+    assert out.columns == ["entity", "pagerank"]
+    assert out.count() == 0

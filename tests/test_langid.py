@@ -72,3 +72,21 @@ def test_langid_unseen_floor_prevents_small_profile_bias(spark):
         "doc_id long, text string")
     out = classify_lang(doc, profiles).collect()[0]
     assert out["lang_pred"] == "cc"
+
+
+def test_langid_no_profile_hits_and_short_docs_survive(spark):
+    """ADVICE r04: a doc whose trigrams hit NO profile (unseen script)
+    must not vanish from the output — it gets the max-floor language at
+    n·floor; a doc too short for any trigram gets a null prediction."""
+    train = spark.createDataFrame(_corpus(4, 40), "text string, lang string")
+    profiles = train_langid(train, top_k=500)
+    docs = spark.createDataFrame(
+        [(0, "house tree summer"),      # normal: classified
+         (1, "0123456789" * 4),         # digits: zero profile hits
+         (2, "ab")],                    # < 3 chars: no trigrams at all
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in classify_lang(docs, profiles).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["lang_pred"] == "cc"
+    assert rows[1]["lang_pred"] in set(_VOCABS) and rows[1]["lang_score"] < 0
+    assert rows[2]["lang_pred"] is None and rows[2]["lang_score"] is None

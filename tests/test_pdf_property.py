@@ -24,6 +24,37 @@ def test_lzw_roundtrip(data):
     assert _pdf_lzw_decode(_lzw_encode(data)) == data
 
 
+def test_lzw_decoder_widens_at_511():
+    """Pin the decoder's EarlyChange=1 widening boundary independently of
+    the shared test encoder (a mirrored off-by-one passed round-trips in
+    round 4): emit literal codes with a hand-rolled bit writer, switching
+    to 10-bit exactly when the decoder's table reaches 511 entries — the
+    rule pdfminer/pdf.js/Ghostscript implement. Codes 1..253 after the
+    clear are 9-bit (table 258→510); from code 254 on they are 10-bit."""
+    literals = [(i * 37 + 11) % 256 for i in range(400)]
+    bits = [(256, 9)]
+    table_size = 258
+    width = 9
+    for i, lit in enumerate(literals):
+        bits.append((lit, width))
+        if i > 0:  # decoder appends starting with the second code
+            table_size += 1
+        if table_size + 1 >= (1 << width) and width < 12:
+            width += 1
+    bits.append((257, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    assert _pdf_lzw_decode(bytes(out)) == bytes(literals)
+
+
 def test_aes128_fips_and_nist_vectors():
     """The stdlib AES-128 inverse cipher against published vectors:
     FIPS-197 appendix C.1 and NIST SP800-38A CBC block 1."""

@@ -325,11 +325,17 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
         out_bits.append((table[w], width))
         table[wc] = next_code
         next_code += 1
-        if next_code + early - 1 > (1 << width) and width < 12:
+        # Standard EarlyChange=1 rule: the decoder (one entry behind the
+        # encoder) widens at table sizes 511/1023/2047, so the encoder
+        # widens when next_code reaches 512/1024/2048.
+        if next_code + early - 1 >= (1 << width) and width < 12:
             width += 1
         w = bytes([ch])
     if w:
         out_bits.append((table[w], width))
+        next_code += 1  # the decoder appends an entry for this code too
+        if next_code + early - 1 >= (1 << width) and width < 12:
+            width += 1
     out_bits.append((257, width))
     acc = nbits = 0
     out = bytearray()
@@ -487,9 +493,12 @@ def _aes_encrypt_block(key: bytes, block: bytes) -> bytes:
     return bytes(x ^ y for x, y in zip(st, rk[10]))
 
 
-def test_parse_pdf_aesv2_encrypted_empty_user_password():
-    """Round 4: V4 /AESV2 PDFs (AES-128-CBC, the Acrobat/Office default)
-    with an empty user password decrypt via the stdlib cipher."""
+def _build_aes_pdf(enc_dict: bytes) -> bytes:
+    """Build a V4 /AESV2 PDF with an empty user password.  ``enc_dict``
+    is the inside of the /Encrypt dictionary with ``{O}``/``{U}`` hex
+    placeholders, so tests can vary key ORDER (PDF dict order is
+    arbitrary; a /CF sub-dict /Length can legally precede the top-level
+    one)."""
     import hashlib
     import struct
 
@@ -533,17 +542,51 @@ def test_parse_pdf_aesv2_encrypted_empty_user_password():
         prev = _aes_encrypt_block(okey, blk)
         ct += prev
     enc_stream = iv + ct
-    body = (
+    filled = (enc_dict
+              .replace(b"{O}", o_entry.hex().encode())
+              .replace(b"{U}", u_entry.hex().encode()))
+    return (
         b"%PDF-1.6\n"
         + _streamobj(1, enc_stream)
-        + b"9 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 "
-        + b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF "
-        + b"/O <" + o_entry.hex().encode() + b"> /U <"
-        + u_entry.hex().encode() + b"> /P -3904 >> endobj\n"
+        + b"9 0 obj << " + filled + b" >> endobj\n"
         + b"trailer << /Encrypt 9 0 R /ID [<" + id0.hex().encode()
         + b"> <" + id0.hex().encode() + b">] >>\n%%EOF\n"
     )
+
+
+def test_parse_pdf_aesv2_encrypted_empty_user_password():
+    """Round 4: V4 /AESV2 PDFs (AES-128-CBC, the Acrobat/Office default)
+    with an empty user password decrypt via the stdlib cipher."""
+    body = _build_aes_pdf(
+        b"/Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF "
+        b"/O <{O}> /U <{U}> /P -3904"
+    )
     text, refs = registry.parse_pdf("/m/aes.pdf", body)
+    assert text == "Aes secret" and refs == []
+
+
+def test_parse_pdf_aesv2_cf_length_first():
+    """Round 5 (ADVICE): the /CF sub-dict /Length (bytes, not bits) may
+    precede the top-level /Length — the key size must still be 128-bit."""
+    body = _build_aes_pdf(
+        b"/Filter /Standard /V 4 /R 4 "
+        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF "
+        b"/Length 128 /O <{O}> /U <{U}> /P -3904"
+    )
+    text, refs = registry.parse_pdf("/m/aes_cf_first.pdf", body)
+    assert text == "Aes secret" and refs == []
+
+
+def test_parse_pdf_aesv2_no_top_level_length():
+    """Round 5 (ADVICE): a V4 dict with NO top-level /Length must not
+    fall back to 40-bit — AESV2 keys are always 128-bit."""
+    body = _build_aes_pdf(
+        b"/Filter /Standard /V 4 /R 4 "
+        b"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF "
+        b"/O <{O}> /U <{U}> /P -3904"
+    )
+    text, refs = registry.parse_pdf("/m/aes_nolen.pdf", body)
     assert text == "Aes secret" and refs == []
 
 
