@@ -338,10 +338,12 @@ def chunk_text(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE,
                table_mode: str = "single_row",
                strategy: str = "sentence") -> list[tuple[TextChunk, bool, str | None]]:
     """Full table-aware chunking → [(chunk, is_table_chunk, table_header)].
-    ``strategy`` picks the plain-text chunker (sentence/word/token — the
-    reference's chonkie strategy names; semantic needs an embedding model
-    and stays a documented seam); table handling is strategy-independent,
-    as in the reference's multimodal chunker."""
+    ``strategy`` picks the plain-text chunker — sentence/word/token/
+    semantic, the reference's chonkie strategy names; semantic groups
+    sentences by cosine drop over a pluggable embedding (deterministic
+    64-dim hash embedding by default, see ``semantic_chunks``).  Table
+    handling is strategy-independent, as in the reference's multimodal
+    chunker."""
     chunk_fn = _STRATEGIES[strategy]
     if not text or not text.strip():
         return []
