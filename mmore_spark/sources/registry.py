@@ -545,14 +545,24 @@ _PDF_NAME_RE = re.compile(rb"/([^\s/<>()\[\]{}%]*)")
 _PdfFont = tuple  # (int, dict[int, str])
 
 
+# A /Subtype /Type0 (composite/CID) font with NO ToUnicode CMap: its
+# string bytes are opaque CID codes — decoding them latin-1 would emit
+# mojibake, so shown strings drop entirely (the page then degrades to a
+# media span at the document level; VERDICT r04 #1).
+_CID_OPAQUE: "_PdfFont" = (0, None)
+
+
 def _pdf_decode_shown(raw: bytes, font: "_PdfFont | None") -> str:
     """Decode the raw bytes of one shown string: through the active font's
     ToUnicode CMap when there is one (CID text — codes are 1- or 2-byte
     units, unmapped codes drop like a .notdef glyph), else latin-1 (simple
-    fonts, the pre-round-4 behavior)."""
+    fonts, the pre-round-4 behavior).  ``_CID_OPAQUE`` fonts (Type0
+    without ToUnicode) drop their strings — opaque CID codes, not text."""
     if font is None:
         return raw.decode("latin-1", "replace")
     w, mp = font
+    if mp is None:
+        return ""
     return "".join(
         mp.get(int.from_bytes(raw[k:k + w], "big"), "")
         for k in range(0, len(raw) - w + 1, w)
@@ -694,8 +704,9 @@ def _pdf_resources_fonts(body: bytes, bodies: "dict[int, bytes]",
                          ) -> "dict[str, _PdfFont]":
     """Resolve a page's font resources to ToUnicode CMaps: /Resources
     (inline or ref) → /Font (inline or ref) → per-name font object →
-    /ToUnicode stream → parsed CMap.  Fonts without a usable ToUnicode
-    are omitted (their strings keep the latin-1 simple-font path)."""
+    /ToUnicode stream → parsed CMap.  Simple fonts without a usable
+    ToUnicode are omitted (their strings keep the latin-1 path); Type0
+    fonts without one map to ``_CID_OPAQUE`` (strings drop)."""
     def dict_of(container: bytes, key: bytes) -> bytes:
         mref = re.search(key + rb"\s+(\d+)\s+\d+\s+R", container)
         if mref:
@@ -715,10 +726,16 @@ def _pdf_resources_fonts(body: bytes, bodies: "dict[int, bytes]",
         fobj = bodies.get(int(mname.group(2)), b"")
         mtu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fobj)
         if not mtu:
+            # composite fonts without ToUnicode show opaque CID codes:
+            # mark so their strings drop instead of decoding as mojibake
+            if re.search(rb"/Subtype\s*/Type0\b", fobj):
+                fonts[name] = _CID_OPAQUE
             continue
         cmap = _pdf_cmap(stream_raws.get(int(mtu.group(1)), b""))
         if cmap:
             fonts[name] = cmap
+        elif re.search(rb"/Subtype\s*/Type0\b", fobj):
+            fonts[name] = _CID_OPAQUE
     return fonts
 
 
@@ -1125,9 +1142,11 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
     (PDF 1.5 compressed-xref files keep their page tree resolvable),
     ToUnicode CMap decoding (CID-encoded text WITH a ToUnicode map
     extracts correctly), and the LZW / ASCIIHex / ASCII85 filters plus
-    PNG predictors on Flate/LZW (_pdf_decode_stream).  CID without
-    ToUnicode, encrypted files and image-codec filters still raise per
-    file (isolated by the Arrow stage's error column)."""
+    PNG predictors on Flate/LZW (_pdf_decode_stream).  Documents with NO
+    extractable text (image-only/scanned pages, CID without ToUnicode)
+    degrade to one page-image media span per page instead of raising;
+    encrypted files with a real user password still raise per file
+    (isolated by the Arrow stage's error column)."""
     import bisect
 
     # object map: (offset, objnum) per "N G obj" header — lets each content
@@ -1259,9 +1278,24 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
         rebuilt.append("\n" + ATTACHMENT_TAG)
     text = "".join(rebuilt)
     if not text.strip():
-        raise NotImplementedError(
-            "pdf: no extractable text (image-only, CID-encoded or "
-            "unsupported filters; reference path needs pymupdf/marker)")
+        if not obj_headers:
+            raise NotImplementedError("pdf: no objects — not a parseable PDF")
+        # Graceful degradation (VERDICT r04 #1): a structurally-valid PDF
+        # with no extractable text — scanned/image-only pages, CID text
+        # without a ToUnicode CMap, undecodable content filters — yields
+        # one page-image media span PER PAGE instead of an error row.  The
+        # reference's fast path still extracts page images for such files
+        # (pdf_processor.py:258-326); the OCR-class accurate path needs
+        # absent models.  Pages join with the same pagination markers as
+        # the text path so paragraph/pagination parsing stays uniform.
+        n_pages = len(order) if order else 1
+        refs = [("image", f"{path}#page{pi}") for pi in range(n_pages)]
+        parts = []
+        for pi in range(n_pages):
+            if pi:
+                parts.append(f"\n\n{{{pi - 1}}}----\n\n")
+            parts.append(ATTACHMENT_TAG)
+        return "".join(parts), refs
     return re.sub(r"[ \t]+", " ", text).strip(), refs
 
 
