@@ -21,6 +21,10 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     sp = sub.add_parser("process", help="crawl + route + parse data_path")
     sp.add_argument("--config-file", required=True)
+    sp.add_argument("--no-incremental", action="store_true",
+                    help="reprocess every file even when previous results "
+                         "exist (default: reuse files with mtime <= their "
+                         "previous processed_at, as the reference does)")
     sq = sub.add_parser("postprocess", help="apply a pp_modules chain")
     sq.add_argument("--config-file", required=True)
     sq.add_argument("--input", required=True,
@@ -34,10 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     cfg = C.load_config(a.config_file)
     if a.cmd == "process":
-        out = C.run_process(spark, cfg)
+        m: dict = {}
+        out = C.run_process(spark, cfg, incremental=not a.no_incremental,
+                            metrics=m)
         errors = out.filter("error IS NOT NULL").count()
         print(json.dumps({"cmd": "process", "rows": out.count(),
-                          "errors": errors}))
+                          "errors": errors, **m}))
     else:
         df = spark.read.parquet(a.input)
         out = C.run_postprocess(df, cfg)

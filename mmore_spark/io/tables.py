@@ -142,6 +142,38 @@ def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "_lineage"))
 
 
+def replace_table(spark: SparkSession, path: str, df: DataFrame,
+                  stage: str = "replace") -> dict:
+    """Full-replacement write that stays safe when ``df``'s plan READS
+    from ``path`` (incremental process: merged output = reused rows from
+    the existing table + newly parsed rows): write to an adjacent tmp
+    dir first, then swap directories.  Shares upsert_table's two-rename
+    pattern and its crash recovery (``_recover_upsert`` heals the
+    non-atomic window)."""
+    import shutil
+
+    _recover_upsert(path)
+    if not os.path.isdir(path) or not os.listdir(path):
+        return write_table(df, path, stage=stage)
+    tmp = path.rstrip("/") + ".__upsert_tmp"
+    old = path.rstrip("/") + ".__upsert_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    summary = write_table(df, tmp, stage=stage)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except FileNotFoundError:
+        # a concurrent reader's _recover_upsert can win the race inside
+        # the two-rename window — verify the healed table is in place
+        if not (os.path.isdir(path) and os.path.exists(_marker(path))):
+            raise
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+    summary["path"] = path
+    return summary
+
+
 def upsert_table(spark: SparkSession, path: str, updates: DataFrame,
                  key: str = "doc_id", version_col: str | None = None) -> dict:
     """MERGE-style upsert: rows in ``updates`` replace existing rows with
@@ -155,8 +187,6 @@ def upsert_table(spark: SparkSession, path: str, updates: DataFrame,
     Reference analog: previous-results reuse keyed by file_path with max
     processed_at (/root/reference/src/mmore/process/incremental.py:24-48).
     """
-    import shutil
-
     _recover_upsert(path)
     if not os.path.isdir(path) or not os.listdir(path):
         summary = write_table(updates, path, stage="upsert-init")
@@ -176,25 +206,7 @@ def upsert_table(spark: SparkSession, path: str, updates: DataFrame,
     else:
         keep = existing.join(updates.select(key).distinct(), key, "left_anti")
         merged = keep.unionByName(updates, allowMissingColumns=True)
-
-    tmp = path.rstrip("/") + ".__upsert_tmp"
-    old = path.rstrip("/") + ".__upsert_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    summary = write_table(merged, tmp, stage="upsert")
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except FileNotFoundError:
-        # A concurrent reader's _recover_upsert can win the race inside the
-        # two-rename window (path absent + complete tmp → it rolls tmp
-        # forward itself).  Our intended swap then already happened — verify
-        # the healed table is really in place before trusting it (ADVICE
-        # r03: without this, the reader's heal crashed the in-flight
-        # writer).
-        if not (os.path.isdir(path) and os.path.exists(_marker(path))):
-            raise
-    shutil.rmtree(old, ignore_errors=True)
-    spark.catalog.refreshByPath(path)
-    summary["path"] = path
-    return summary
+    # replace_table does the tmp-write + two-rename swap and its recovery
+    # (ADVICE r03: the FileNotFoundError branch tolerates a concurrent
+    # reader's _recover_upsert winning the race inside the window)
+    return replace_table(spark, path, merged, stage="upsert")

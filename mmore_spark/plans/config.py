@@ -40,16 +40,77 @@ def load_config(path: str) -> dict:
         return yaml.safe_load(f)
 
 
-def run_process(spark: SparkSession, cfg: dict) -> DataFrame:
-    """The ``mmore process`` entrypoint: crawl + route + parse every file
-    under ``data_path`` (sources/registry.scan_and_parse), one row per
-    file with per-file error isolation."""
+def run_process(spark: SparkSession, cfg: dict, incremental: bool = True,
+                metrics: dict | None = None) -> DataFrame:
+    """The ``mmore process`` entrypoint: crawl + route + parse files under
+    ``data_path`` (sources/registry.scan_and_parse), one row per file
+    with per-file error isolation.
+
+    Incremental reuse is ON by default, matching the reference
+    (run_process.py:147-177): when previous results exist — at
+    ``previous_results`` if configured, else at the output path — files
+    with mtime ≤ their previous processed_at are REUSED without
+    re-parsing (the skip set prunes the scan before the Arrow parse
+    stage), new/modified files parse, and files gone from the crawl drop
+    from the merged output.  ``incremental=False`` (the CLI's
+    ``--no-incremental``) reprocesses everything.  The merged output is
+    written with a tmp-dir + directory-swap (io/tables.replace_table)
+    because its plan reads the table it replaces."""
+    import os
+
+    from ..io import tables
+    from ..operators.incremental import (
+        deleted_keys, merge_results, split_reusable_process)
     from ..sources.registry import scan_and_parse
 
-    out = scan_and_parse(spark, cfg["data_path"])
     dispatcher = cfg.get("dispatcher_config", {})
-    if dispatcher.get("output_path"):
-        out.write.mode("overwrite").parquet(dispatcher["output_path"])
+    out_path = dispatcher.get("output_path")
+    prev_path = cfg.get("previous_results") or out_path
+    prev = None
+    if incremental and prev_path and os.path.isdir(prev_path):
+        try:
+            prev = tables.read_table(spark, prev_path)
+        except Exception:
+            log.warning("previous results at %s unreadable; full reprocess",
+                        prev_path)
+        if prev is not None and "processed_at" not in prev.columns:
+            prev = None  # pre-incremental output: no timestamps to compare
+
+    if prev is None:
+        out = scan_and_parse(spark, cfg["data_path"]).withColumn(
+            "processed_at", F.current_timestamp())
+        if metrics is not None:
+            metrics.update({"reused": 0, "deleted": 0})
+        if out_path:
+            tables.replace_table(spark, out_path, out, stage="process")
+            out = tables.read_table(spark, out_path)
+        return out
+
+    crawled = (
+        spark.read.format("binaryFile").load(cfg["data_path"])
+        .select(F.col("path").alias("file_path"),
+                F.col("modificationTime").alias("mtime"))
+    )
+    reusable, to_process = split_reusable_process(crawled, prev)
+    todo = to_process.select("file_path").persist()
+    n_todo = todo.count()
+    reused = prev.join(reusable.select("file_path"), "file_path", "left_semi")
+    if n_todo == 0:
+        new_rows = spark.createDataFrame([], reused.schema)
+    else:
+        new_rows = scan_and_parse(
+            spark, cfg["data_path"], only_paths=todo
+        ).withColumn("processed_at", F.current_timestamp())
+    current = crawled.select("file_path")
+    out = merge_results(reused, new_rows, current)
+    if metrics is not None:
+        metrics["processed"] = n_todo
+        metrics["reused"] = reused.count()
+        metrics["deleted"] = deleted_keys(prev, current).count()
+    if out_path:
+        tables.replace_table(spark, out_path, out, stage="process")
+        out = tables.read_table(spark, out_path)
+    todo.unpersist()
     return out
 
 

@@ -1378,15 +1378,25 @@ def route_format(df: DataFrame, path_col: str = "path") -> DataFrame:
     )
 
 
-def scan_and_parse(spark: SparkSession, glob: str) -> DataFrame:
+def scan_and_parse(spark: SparkSession, glob: str,
+                   only_paths: "DataFrame | None" = None) -> DataFrame:
     """binaryFile scan → route → per-format Arrow parse stage.
 
     Per-file failures land in the ``error`` column instead of failing the
     job (the reference's per-file try/except contract,
-    pdf_processor.py:107-111)."""
+    pdf_processor.py:107-111).  ``only_paths`` (a ``file_path`` column)
+    left-semi-joins the scan BEFORE the parse stage — the incremental
+    process verb's skip set: pruned files never reach the (dominant)
+    Python parse; their bytes are still listed by the scan, which a
+    mtime-partitioned layout or pathGlobFilter would also prune at the
+    file index when the corpus layout allows."""
     files = spark.read.format("binaryFile").load(glob).select(
         F.col("path"), F.col("content")
     )
+    if only_paths is not None:
+        files = files.join(
+            only_paths.select(F.col("file_path").alias("path")),
+            "path", "left_semi")
     routed = route_format(files).filter(F.col("processor_type").isNotNull())
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

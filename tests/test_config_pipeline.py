@@ -125,3 +125,53 @@ def test_filter_unigram_logprob_module(spark):
     kept = CFG.apply_pp_modules(df, mods).collect()
     # doc a: avg log10 p = log10(5/6) ~ -0.079; doc b ~ -0.429 (rare word)
     assert [r["doc_id"] for r in kept] == ["a"]
+
+
+def test_run_process_incremental_reuse(spark, tmp_path):
+    """VERDICT r04 #2: the process verb reuses unchanged files by default
+    (reference run_process.py:147-177): second run parses 0 files, a
+    touched file reparses alone, a deleted file drops from the merged
+    output, and --no-incremental forces a full reprocess."""
+    import time
+
+    d = tmp_path / "data"
+    os.makedirs(d)
+    (d / "x.txt").write_text("original x")
+    (d / "y.md").write_text("# y\n\nbody")
+    outp = str(tmp_path / "out")
+    cfg = {"data_path": str(d),
+           "dispatcher_config": {"output_path": outp}}
+
+    m1: dict = {}
+    out1 = CFG.run_process(spark, cfg, metrics=m1)
+    rows1 = {r["file_path"].rsplit("/", 1)[-1]: r for r in out1.collect()}
+    assert set(rows1) == {"x.txt", "y.md"} and m1["reused"] == 0
+
+    m2: dict = {}
+    out2 = CFG.run_process(spark, cfg, metrics=m2)
+    rows2 = {r["file_path"].rsplit("/", 1)[-1]: r for r in out2.collect()}
+    assert m2 == {"processed": 0, "reused": 2, "deleted": 0}
+    # reused rows keep their original processed_at
+    assert rows2["x.txt"]["processed_at"] == rows1["x.txt"]["processed_at"]
+
+    (d / "x.txt").write_text("edited x")
+    future = time.time() + 60
+    os.utime(d / "x.txt", (future, future))
+    m3: dict = {}
+    out3 = CFG.run_process(spark, cfg, metrics=m3)
+    rows3 = {r["file_path"].rsplit("/", 1)[-1]: r for r in out3.collect()}
+    assert m3["processed"] == 1 and m3["reused"] == 1
+    assert rows3["x.txt"]["text"] == "edited x"
+    assert rows3["y.md"]["processed_at"] == rows1["y.md"]["processed_at"]
+
+    os.remove(d / "y.md")
+    m4: dict = {}
+    out4 = CFG.run_process(spark, cfg, metrics=m4)
+    assert {r["file_path"].rsplit("/", 1)[-1] for r in out4.collect()} \
+        == {"x.txt"}
+    assert m4["deleted"] == 1
+
+    m5: dict = {}
+    out5 = CFG.run_process(spark, cfg, incremental=False, metrics=m5)
+    assert m5["reused"] == 0
+    assert out5.count() == 1
