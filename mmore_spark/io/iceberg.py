@@ -122,6 +122,29 @@ def incremental_read_sql(table: str, from_snapshot: int, to_snapshot: int,
     )
 
 
+def upsert_table(spark, table: str, updates: DataFrame, key: str = "doc_id",
+                 version_col: str | None = None,
+                 catalog: str = DEFAULT_CATALOG) -> dict:
+    """The upsert path as an Iceberg ``MERGE INTO`` when the runtime is
+    present (VERDICT r04 #7): create-if-absent + merge with the exact
+    latest-wins semantics io/tables.upsert_table's two-rename parquet
+    swap emulates; without the jar it delegates to that fallback, so
+    behavior is unchanged in-sandbox.  Returns the summary dict either
+    way (Iceberg path: table + post-merge row count)."""
+    if iceberg_available(spark):
+        spark.sql(create_table_ddl(table, updates.schema, None, catalog))
+        view = "_mmore_upsert_src"
+        updates.createOrReplaceTempView(view)
+        spark.sql(merge_upsert_sql(table, view, key, version_col, catalog))
+        return {"table": f"{catalog}.{table}", "stage": "upsert",
+                "rows": spark.table(f"{catalog}.{table}").count()}
+    from . import tables
+
+    return tables.upsert_table(
+        spark, f"/tmp/mmore_iceberg_fallback/{table}", updates,
+        key=key, version_col=version_col)
+
+
 def write_table(df: DataFrame, table: str,
                 partition_by: list[str] | None = None,
                 catalog: str = DEFAULT_CATALOG):

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..corpus.generator import DOCUMENTS_SCHEMA
 from ..functions.spans import render_text
+from ..hashing import h60
 from ..operators import extract
 
 # Compact the _seen_ids side table once the SMALL tier fragments past this
@@ -57,6 +58,47 @@ SEEN_COMPACT_MAX_FILES = 16
 # Per-compaction I/O is bounded by the small-tier bytes (< 16 batch
 # appends + at most one growing fold file), independent of history size.
 SEEN_TIER_BYTES = 64 * 1024 * 1024
+
+# _seen_ids layout (VERDICT r04 #4 — the per-drain anti-join used to READ
+# the full seen-id history):
+#
+#   _seen_ids/recent/            one small flat (doc_id, bucket) file per
+#                                drain — always read in full (≤16 files)
+#   _seen_ids/history/bucket=k/  hash-partitioned by
+#                                pmod(h60(doc_id), SEEN_BUCKETS) — the
+#                                anti-join reads ONLY the buckets the
+#                                current batch's doc_ids hash into, so
+#                                per-drain read bytes scale with
+#                                touched_buckets/SEEN_BUCKETS of history,
+#                                not with history size
+#
+# Legacy flat files directly under _seen_ids/ (pre-bucketing checkpoints)
+# are still read unpruned and migrate into history/ at the next
+# compaction.
+#
+# Size SEEN_BUCKETS so history/SEEN_BUCKETS is a comfortable per-drain
+# read at the deployment's scale (64 suits ~10^7-10^8 ids; a 10^12-id
+# deployment wants thousands — env MMORE_SEEN_BUCKETS).  The count used
+# by an EXISTING _seen_ids layout is pinned in its _buckets.json marker:
+# bucket values baked into directory names must match the values the
+# anti-join computes for a batch, so changing the constant must never
+# reinterpret an old layout (it would silently break dedup).
+SEEN_BUCKETS = int(os.environ.get("MMORE_SEEN_BUCKETS", "64"))
+
+
+def _seen_nbuckets(seen_dir: str) -> int:
+    """The bucket count this _seen_ids layout was created with — read
+    from the marker, writing it on first use."""
+    marker = os.path.join(seen_dir, "_buckets.json")
+    try:
+        with open(marker) as f:
+            return int(json.load(f)["n"])
+    except (FileNotFoundError, ValueError, KeyError):
+        pass
+    os.makedirs(seen_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump({"n": SEEN_BUCKETS}, f)
+    return SEEN_BUCKETS
 
 # Keep at most this many attempt/commit marker files; older batch ids are
 # final (the checkpoint never replays a batch once a LATER batch committed),
@@ -104,54 +146,163 @@ def _recover_seen(seen_dir: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _seen_bucket(nbuckets: int) -> "F.Column":
+    return F.pmod(h60(F.col("doc_id")), F.lit(nbuckets)).cast("int")
+
+
 def _append_seen(triples: DataFrame, seen_dir: str) -> None:
-    """Append this batch's doc_ids to the seen side table.  One file per
-    batch (the distinct id set of a single micro-batch is tiny relative to
-    the output), so listing cost grows one entry per drain until
-    compaction folds them."""
-    triples.select("doc_id").distinct().coalesce(1).write.mode("append").parquet(seen_dir)
+    """Append this batch's doc_ids (with their history bucket) to the
+    recent tier.  One file per batch (the distinct id set of a single
+    micro-batch is tiny relative to the output), so listing cost grows one
+    entry per drain until compaction folds the tier into history/."""
+    (triples.select("doc_id").distinct()
+     .withColumn("bucket", _seen_bucket(_seen_nbuckets(seen_dir)))
+     .coalesce(1).write.mode("append")
+     .parquet(os.path.join(seen_dir, "recent")))
+
+
+def _legacy_seen_files(seen_dir: str) -> list:
+    """Flat parquet files directly under _seen_ids/ — the pre-bucketing
+    layout found in old checkpoints."""
+    if not os.path.isdir(seen_dir):
+        return []
+    return [os.path.join(seen_dir, f) for f in os.listdir(seen_dir)
+            if f.endswith(".parquet")]
+
+
+def _read_seen(spark: SparkSession, seen_dir: str,
+               buckets: "list[int] | None" = None) -> "DataFrame | None":
+    """The seen doc_id set as a DataFrame, pruned to ``buckets`` where the
+    partitioned history tier allows it (recent + legacy flat files are
+    always read in full — both are bounded small by compaction)."""
+    parts = []
+    recent = os.path.join(seen_dir, "recent")
+    if _has_parquet(recent):
+        parts.append(spark.read.parquet(recent).select("doc_id"))
+    hist = os.path.join(seen_dir, "history")
+    if os.path.isdir(hist) and any(
+            n.startswith("bucket=") for n in os.listdir(hist)):
+        h = spark.read.parquet(hist)
+        if buckets is not None:
+            # literal IN list over the partition column → directory-level
+            # pruning at the file index: untouched buckets are never read
+            h = h.filter(F.col("bucket").isin(buckets))
+        parts.append(h.select("doc_id"))
+    legacy = _legacy_seen_files(seen_dir)
+    if legacy:
+        parts.append(spark.read.parquet(*legacy).select("doc_id"))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _seen_read_bytes(seen_dir: str,
+                     buckets: "list[int] | None" = None) -> tuple[int, int]:
+    """(bytes the next anti-join would read for ``buckets``, total seen
+    bytes) — the measurement hook for the sub-linear-read contract."""
+    def du(d: str) -> int:
+        if not os.path.isdir(d):
+            return 0
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _ds, fs in os.walk(d)
+                   for f in fs if f.endswith(".parquet"))
+
+    base = du(os.path.join(seen_dir, "recent")) + sum(
+        os.path.getsize(f) for f in _legacy_seen_files(seen_dir))
+    hist = os.path.join(seen_dir, "history")
+    total_hist = du(hist)
+    if buckets is None:
+        read_hist = total_hist
+    else:
+        read_hist = sum(du(os.path.join(hist, f"bucket={b}"))
+                        for b in buckets)
+    return base + read_hist, base + total_hist
+
+
+def _fold_files(spark: SparkSession, files: list, dest_dir: str,
+                partitioned: bool, nbuckets: int = SEEN_BUCKETS) -> bool:
+    """Land the distinct union of ``files`` into ``dest_dir`` first, retire
+    the sources second.  Crash between the two leaves a duplicate superset
+    — semantically identical under the readers' ``.distinct()``, never a
+    loss.  Returns False (sources kept) if the write did not complete."""
+    tmp = dest_dir.rstrip("/") + ".__fold_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df = spark.read.parquet(*files)
+    if partitioned:
+        # partitionBy strips the bucket column from the data files, so
+        # partition-discovery reads of history/ see it exactly once
+        if "bucket" not in df.columns:
+            df = df.select("doc_id").withColumn("bucket",
+                                                _seen_bucket(nbuckets))
+        (df.select("doc_id", "bucket").distinct()
+         .repartition("bucket").write.partitionBy("bucket").parquet(tmp))
+    else:
+        # inside a bucket=k dir the physical schema stays doc_id-only
+        df.select("doc_id").distinct().coalesce(1).write.parquet(tmp)
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    # move landed files into place (Spark part names carry a per-job UUID
+    # — no collision), then retire the sources
+    for root, _dirs, fs in os.walk(tmp):
+        rel = os.path.relpath(root, tmp)
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            dst = dest_dir if rel == "." else os.path.join(dest_dir, rel)
+            os.makedirs(dst, exist_ok=True)
+            os.rename(os.path.join(root, f), os.path.join(dst, f))
+    for f in files:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    shutil.rmtree(tmp, ignore_errors=True)
+    return True
 
 
 def _compact_seen(spark: SparkSession, seen_dir: str,
                   max_files: int = SEEN_COMPACT_MAX_FILES,
                   tier_bytes: int = SEEN_TIER_BYTES) -> None:
-    """Size-tiered compaction: fold ONLY the small tier (per-batch append
-    files + the current fold file) into one new file; sealed tiers — files
-    at or above ``tier_bytes`` — are never rewritten, so per-compaction
-    I/O stays bounded by ~16 batch appends regardless of how many ids
-    history holds (VERDICT r03 #7).
+    """Two-level size-tiered compaction.
+
+    Level 1: once the recent tier (one file per drain, plus any legacy
+    flat files) exceeds ``max_files``, fold it into the bucket-partitioned
+    history tier (one write, partitioned by the precomputed bucket
+    column).  Level 2: within each history bucket, fold small files once
+    they exceed ``max_files``; files at or above ``tier_bytes`` are SEALED
+    and never rewritten (VERDICT r03 #7), so per-compaction I/O is bounded
+    by the small tiers regardless of history size.
 
     Crash safety needs no directory swap: _seen_ids has SET semantics
-    (every reader applies ``.distinct()``), so the fold lands its output
-    file FIRST and retires the source files SECOND — a crash between the
-    two leaves a duplicate superset, which is semantically identical,
-    never a loss.  (_recover_seen remains to heal swaps from the legacy
-    full-snapshot scheme found in pre-existing checkpoints.)"""
+    (every reader applies ``.distinct()``) and _fold_files lands output
+    before retiring sources.  (_recover_seen remains to heal swaps from
+    the legacy full-snapshot scheme found in pre-existing checkpoints.)"""
     if not os.path.isdir(seen_dir):
         return
-    sizes = {f: os.path.getsize(os.path.join(seen_dir, f))
-             for f in os.listdir(seen_dir) if f.endswith(".parquet")}
-    small = [f for f, sz in sizes.items() if sz < tier_bytes]
-    if len(small) <= max_files:
-        return
-    tmp = seen_dir.rstrip("/") + ".__compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (spark.read.parquet(*[os.path.join(seen_dir, f) for f in small])
-     .distinct().coalesce(1).write.parquet(tmp))
-    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
-        shutil.rmtree(tmp, ignore_errors=True)
-        return
-    # land the folded tier first (Spark part filenames carry a per-job
-    # UUID — no collision with existing files), then retire its sources
-    for f in os.listdir(tmp):
-        if f.endswith(".parquet"):
-            os.rename(os.path.join(tmp, f), os.path.join(seen_dir, f))
-    for f in small:
-        try:
-            os.remove(os.path.join(seen_dir, f))
-        except FileNotFoundError:
-            pass
-    shutil.rmtree(tmp, ignore_errors=True)
+    recent_dir = os.path.join(seen_dir, "recent")
+    hist_dir = os.path.join(seen_dir, "history")
+    recent = [os.path.join(recent_dir, f)
+              for f in (os.listdir(recent_dir)
+                        if os.path.isdir(recent_dir) else [])
+              if f.endswith(".parquet")]
+    level1 = recent + _legacy_seen_files(seen_dir)
+    if len(level1) > max_files:
+        _fold_files(spark, level1, hist_dir, partitioned=True,
+                    nbuckets=_seen_nbuckets(seen_dir))
+    if os.path.isdir(hist_dir):
+        for bdir in os.listdir(hist_dir):
+            if not bdir.startswith("bucket="):
+                continue
+            bpath = os.path.join(hist_dir, bdir)
+            small = [os.path.join(bpath, f) for f in os.listdir(bpath)
+                     if f.endswith(".parquet")
+                     and os.path.getsize(os.path.join(bpath, f)) < tier_bytes]
+            if len(small) > max_files:
+                _fold_files(spark, small, bpath, partitioned=False)
     spark.catalog.refreshByPath(seen_dir)
 
 
@@ -220,9 +371,19 @@ def stream_extract_triples(spark: SparkSession, staging_dir: str,
             )
             counters["rows_in"] += triples.count()
             spark_b = batch_df.sparkSession
-            if _has_parquet(seen_dir):
-                seen = spark_b.read.parquet(seen_dir).distinct()
+            # buckets this batch's ids hash into: at most SEEN_BUCKETS
+            # small integers (guard-ok: dimension-scale collect), used to
+            # partition-prune the history tier so the anti-join reads
+            # touched buckets only, not the full seen history
+            bvals = [r["b"] for r in batch_df
+                     .select(_seen_bucket(_seen_nbuckets(seen_dir))
+                             .alias("b")).distinct().collect()]
+            seen = _read_seen(spark_b, seen_dir, buckets=bvals)
+            if seen is not None:
                 triples = triples.join(seen, "doc_id", "left_anti")
+            rd, tot = _seen_read_bytes(seen_dir, buckets=bvals)
+            counters["seen_bytes_read"] = counters.get("seen_bytes_read", 0) + rd
+            counters["seen_bytes_total"] = tot
             to_write = triples
             if suspect_replay and _has_parquet(output_dir):
                 written_ids = spark_b.read.parquet(output_dir).select("doc_id").distinct()

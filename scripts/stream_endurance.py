@@ -38,6 +38,7 @@ def main() -> int:
     os.makedirs(staging)
 
     walls, files, written = [], [], []
+    read_bytes, total_bytes = [], []
     total = 0
     for i in range(drains):
         # stage a fresh slice of docs: generator output is a pure function
@@ -51,9 +52,12 @@ def main() -> int:
         t0 = time.time()
         c = stream_extract_triples(spark, staging, out, ckpt)
         walls.append(round(time.time() - t0, 2))
-        seen_dir = os.path.join(out, "_seen_ids")
-        files.append(len([f for f in os.listdir(seen_dir)
-                          if f.endswith(".parquet")]))
+        recent = os.path.join(out, "_seen_ids", "recent")
+        files.append(len([f for f in os.listdir(recent)
+                          if f.endswith(".parquet")])
+                     if os.path.isdir(recent) else 0)
+        read_bytes.append(c.get("seen_bytes_read", 0))
+        total_bytes.append(c.get("seen_bytes_total", 0))
         written.append(c["rows_written"])
         total += per
 
@@ -68,6 +72,13 @@ def main() -> int:
         "wall_first5_s": round(head, 2), "wall_last5_s": round(tail, 2),
         "wall_ratio_last_over_first": round(tail / head, 2),
         "seen_files_max": max(files), "seen_files_last": files[-1],
+        # bucket pruning (VERDICT r04 #4): the last drain's anti-join read
+        # vs the full seen table — sub-linear when the batch's ids touch a
+        # subset of the 64 history buckets (small drains); a batch large
+        # enough to hash into every bucket legitimately reads them all
+        "seen_read_frac_last": round(read_bytes[-1] / total_bytes[-1], 3)
+        if total_bytes and total_bytes[-1] else None,
+        "seen_bytes_total_last": total_bytes[-1] if total_bytes else 0,
         "walls": walls,
     }))
     return 0

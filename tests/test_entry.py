@@ -81,3 +81,26 @@ def test_pagerank_empty_graph_returns_empty(spark, tmp_path):
     out = _kg_pagerank_spark(spark, str(tmp_path))
     assert out.columns == ["entity", "pagerank"]
     assert out.count() == 0
+
+
+def test_pagerank_converges_early_when_tol_set(spark):
+    """VERDICT r04 #8: with tol set, PageRank stops once the L1 delta
+    drops under it.  A symmetric clique's fixed point IS the uniform
+    start (delta = 0 after one round, vs a bidirectional star which
+    oscillates at ~0.92/round), so it must stop almost immediately while
+    matching the full fixed-iteration run."""
+    from mmore_spark.entryqueries import pagerank_ranks
+
+    nodes = [f"n{i}" for i in range(6)]
+    edges = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a != b],
+        "src string, dst string")
+    m: dict = {}
+    early = pagerank_ranks(edges, iters=30, tol=1e-9, metrics=m)
+    assert m["iterations"] <= 2
+    full = pagerank_ranks(edges, iters=30)
+    e = {r["node"]: r["rank"] for r in early.collect()}
+    f = {r["node"]: r["rank"] for r in full.collect()}
+    assert set(e) == set(f)
+    assert all(abs(e[k] - f[k]) < 1e-9 for k in e)
+    assert all(abs(v - 1 / 6) < 1e-9 for v in e.values())

@@ -73,3 +73,65 @@ def test_write_falls_back_without_runtime(spark, tmp_path, monkeypatch):
     summary = I.write_table(df, "kg.triples_global")
     assert captured["stage"] == "kg.triples_global"
     assert summary["rows"] == 2
+
+
+def test_upsert_emits_ddl_then_merge_when_runtime_present(spark, monkeypatch):
+    """VERDICT r04 #7: with the runtime present, the upsert path is
+    CREATE-if-absent followed by one MERGE INTO with latest-wins — the
+    statements the parquet two-rename swap emulates.  The jar is absent
+    here, so the session is a recording stub."""
+
+    class RecordingSession:
+        def __init__(self):
+            self.stmts = []
+
+        def sql(self, s):
+            self.stmts.append(s)
+
+        def table(self, name):
+            class _T:
+                def count(self):
+                    return 0
+            return _T()
+
+    monkeypatch.setattr(I, "iceberg_available", lambda s: True)
+    updates = spark.createDataFrame(
+        [("d1", "2024-01-01")], "doc_id string, processed_at string")
+    monkeypatch.setattr(
+        updates, "createOrReplaceTempView", lambda name: None)
+    rec = RecordingSession()
+    I.upsert_table(rec, "kg.docs", updates, key="doc_id",
+                   version_col="processed_at")
+    assert len(rec.stmts) == 2
+    ddl, merge = rec.stmts
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS mmore.kg.docs")
+    assert "USING iceberg" in ddl and "doc_id string" in ddl
+    assert merge.startswith("MERGE INTO mmore.kg.docs t USING")
+    assert "t.doc_id = s.doc_id" in merge
+    assert "s.processed_at >= t.processed_at" in merge  # latest-wins
+    assert "WHEN MATCHED" in merge and "WHEN NOT MATCHED THEN INSERT *" in merge
+
+
+def test_upsert_falls_back_without_runtime(spark, tmp_path, monkeypatch):
+    """In-sandbox the same call routes to io/tables.upsert_table and the
+    merged result has identical latest-wins content."""
+    import mmore_spark.io.tables as TBL
+
+    assert I.iceberg_available(spark) is False
+    path = {}
+    real = TBL.upsert_table
+
+    def spy(sp, p, updates, key="doc_id", version_col=None):
+        path["p"] = p
+        return real(sp, str(tmp_path / "t"), updates, key=key,
+                    version_col=version_col)
+
+    monkeypatch.setattr(TBL, "upsert_table", spy)
+    v1 = spark.createDataFrame([("d1", 1), ("d2", 1)], "doc_id string, v int")
+    I.upsert_table(spark, "kg.docs", v1, version_col="v")
+    v2 = spark.createDataFrame([("d2", 2), ("d3", 1)], "doc_id string, v int")
+    I.upsert_table(spark, "kg.docs", v2, version_col="v")
+    got = {r["doc_id"]: r["v"]
+           for r in spark.read.parquet(str(tmp_path / "t")).collect()}
+    assert got == {"d1": 1, "d2": 2, "d3": 1}
+    assert "mmore_iceberg_fallback" in path["p"]

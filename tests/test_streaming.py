@@ -206,53 +206,80 @@ def test_stream_seen_ids_file_count_bounded(spark, tmp_path):
             "append").parquet(staging)
         stream_extract_triples(spark, staging, out, ckpt)
     seen_dir = os.path.join(out, "_seen_ids")
-    files = [f for f in os.listdir(seen_dir) if f.endswith(".parquet")]
+    recent = os.path.join(seen_dir, "recent")
+    files = [f for f in os.listdir(recent) if f.endswith(".parquet")] \
+        if os.path.isdir(recent) else []
     assert len(files) <= SEEN_COMPACT_MAX_FILES + 1
+    # compacted ids moved into the bucket-partitioned history tier
+    hist = os.path.join(seen_dir, "history")
+    assert any(n.startswith("bucket=") for n in os.listdir(hist))
     # compaction lost nothing: every doc_id still deduped on re-stage
     generate_documents(spark, total, seed=9).coalesce(1).write.mode(
         "append").parquet(staging)
     c = stream_extract_triples(spark, staging, out, ckpt)
     assert c["rows_written"] == 0
+    # the drain's anti-join read is pruned: it must not touch every
+    # history bucket unless the batch's ids hash into all of them
+    assert c["seen_bytes_read"] <= c["seen_bytes_total"]
 
 
 def test_seen_compaction_is_size_tiered(spark, tmp_path):
-    """VERDICT r03 #7: compaction must never rewrite SEALED tiers (files at
-    or above the tier threshold) — per-compaction I/O is bounded by the
-    small tier's bytes, not by how many ids history holds.  Forced
-    multi-compaction: the sealed file's name/size/mtime survive every
-    round, and no id is ever lost."""
-    from mmore_spark.streaming.ingest import _compact_seen
+    """VERDICT r03 #7 + r04 #4: level-1 compaction folds the recent tier
+    into the bucket-partitioned history; level-2 folds small files WITHIN
+    a bucket but never rewrites SEALED files (≥ tier_bytes) — so
+    per-compaction I/O is bounded by the small tiers, not history size.
+    The sealed file's name/size/mtime survive every round, and no id is
+    ever lost."""
+    from pyspark.sql import functions as F
+
+    from mmore_spark.hashing import h60
+    from mmore_spark.streaming.ingest import (
+        SEEN_BUCKETS, _compact_seen, _read_seen)
 
     seen = str(tmp_path / "out8" / "_seen_ids")
+    recent = os.path.join(seen, "recent")
 
     def append(ids):
-        spark.createDataFrame([(i,) for i in ids], "doc_id string") \
-            .coalesce(1).write.mode("append").parquet(seen)
+        (spark.createDataFrame([(i,) for i in ids], "doc_id string")
+         .withColumn("bucket", F.pmod(h60(F.col("doc_id")),
+                                      F.lit(SEEN_BUCKETS)).cast("int"))
+         .coalesce(1).write.mode("append").parquet(recent))
 
-    # one big "sealed" tier holding most of history
-    append([f"old-{i:06d}" for i in range(20000)])
+    # seed history with one big SEALED file in a known bucket
+    old_ids = [f"old-{i:06d}" for i in range(20000)]
+    df = spark.createDataFrame([(i,) for i in old_ids], "doc_id string") \
+        .withColumn("bucket", F.pmod(h60(F.col("doc_id")),
+                                     F.lit(SEEN_BUCKETS)).cast("int"))
+    some_bucket = df.select("bucket").first()["bucket"]
+    bdir = os.path.join(seen, "history", f"bucket={some_bucket}")
+    os.makedirs(bdir)
+    in_bucket = df.filter(F.col("bucket") == some_bucket).select("doc_id")
+    in_bucket.coalesce(1).write.mode("append").parquet(bdir)
+    for f in os.listdir(bdir):  # Spark wrote _SUCCESS etc. alongside
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(bdir, f))
     sealed_before = {
-        f: (os.path.getsize(os.path.join(seen, f)),
-            os.path.getmtime(os.path.join(seen, f)))
-        for f in os.listdir(seen) if f.endswith(".parquet")}
+        f: (os.path.getsize(os.path.join(bdir, f)),
+            os.path.getmtime(os.path.join(bdir, f)))
+        for f in os.listdir(bdir) if f.endswith(".parquet")}
     assert len(sealed_before) == 1
     tier_bytes = min(sz for sz, _m in sealed_before.values())  # seals it
 
-    expect = {f"old-{i:06d}" for i in range(20000)}
+    expect = {r["doc_id"] for r in in_bucket.collect()}
     for rnd in range(3):
         new = [f"r{rnd}-{j}" for j in range(18)]
         for nid in new:
             append([nid])  # one tiny file per drain, like _append_seen
         expect.update(new)
         _compact_seen(spark, seen, max_files=16, tier_bytes=tier_bytes)
-        files = [f for f in os.listdir(seen) if f.endswith(".parquet")]
-        # folded back under the threshold: sealed + at most a few fold files
-        assert len(files) <= 4, files
+        rfiles = [f for f in os.listdir(recent) if f.endswith(".parquet")] \
+            if os.path.isdir(recent) else []
+        assert len(rfiles) <= 16, rfiles
         for f, (sz, mt) in sealed_before.items():
-            assert os.path.getsize(os.path.join(seen, f)) == sz
-            assert os.path.getmtime(os.path.join(seen, f)) == mt
+            assert os.path.getsize(os.path.join(bdir, f)) == sz
+            assert os.path.getmtime(os.path.join(bdir, f)) == mt
         spark.catalog.refreshByPath(seen)
-        got = {r["doc_id"] for r in spark.read.parquet(seen).collect()}
+        got = {r["doc_id"] for r in _read_seen(spark, seen).collect()}
         assert got == expect
 
 
@@ -295,3 +322,66 @@ def test_stream_dedup_within_batch(spark, tmp_path):
     final = spark.read.parquet(out)
     assert c["rows_written"] == final.count()
     assert final.select("doc_id", "subj", "obj").distinct().count() == final.count()
+
+
+def test_seen_history_anti_join_is_bucket_pruned(spark, tmp_path):
+    """VERDICT r04 #4: with a bucketed history 100x the per-drain batch,
+    the anti-join's read must be sub-linear in history size — only the
+    buckets the batch's ids hash into are read."""
+    from pyspark.sql import functions as F
+
+    from mmore_spark.hashing import h60
+    from mmore_spark.streaming.ingest import (
+        SEEN_BUCKETS, _read_seen, _seen_bucket, _seen_read_bytes)
+
+    seen = str(tmp_path / "outp" / "_seen_ids")
+    hist_ids = spark.createDataFrame(
+        [(f"h{i:05d}",) for i in range(20000)], "doc_id string")
+    (hist_ids.withColumn("bucket", _seen_bucket(SEEN_BUCKETS))
+     .repartition("bucket").write.partitionBy("bucket")
+     .parquet(os.path.join(seen, "history")))
+
+    batch = spark.createDataFrame([("h00001",), ("new-1",)], "doc_id string")
+    bvals = [r["b"] for r in
+             batch.select(_seen_bucket(SEEN_BUCKETS).alias("b"))
+             .distinct().collect()]
+    assert len(bvals) <= 2
+
+    rd, tot = _seen_read_bytes(seen, buckets=bvals)
+    # 2 of 64 buckets: the pruned read is a small fraction of history
+    assert rd < tot * (len(bvals) + 1) / SEEN_BUCKETS * 2
+    assert rd < tot / 4
+
+    pruned = _read_seen(spark, seen, buckets=bvals)
+    got = {r["doc_id"] for r in pruned.collect()}
+    # the pruned set covers exactly the ids in the touched buckets —
+    # in particular everything the anti-join needs for this batch
+    want = {r["doc_id"] for r in
+            hist_ids.withColumn("b", _seen_bucket(SEEN_BUCKETS))
+            .filter(F.col("b").isin(bvals)).collect()}
+    assert got == want and "h00001" in got
+    # and the Spark plan prunes at the partition level, not post-scan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_seen_bucket_count_pinned_in_layout_marker(spark, tmp_path):
+    """The bucket count is baked into history directory names, so an
+    existing layout must keep ITS count even if the configured default
+    changes — otherwise the anti-join would compute bucket values against
+    the wrong partitioning and silently stop deduplicating."""
+    import json as _json
+
+    import mmore_spark.streaming.ingest as ingest
+
+    seen = str(tmp_path / "o" / "_seen_ids")
+    n1 = ingest._seen_nbuckets(seen)
+    assert n1 == ingest.SEEN_BUCKETS
+    with open(os.path.join(seen, "_buckets.json")) as f:
+        assert _json.load(f)["n"] == n1
+    orig = ingest.SEEN_BUCKETS
+    try:
+        ingest.SEEN_BUCKETS = orig * 2  # operator changes the env default
+        assert ingest._seen_nbuckets(seen) == n1  # layout keeps its count
+    finally:
+        ingest.SEEN_BUCKETS = orig
