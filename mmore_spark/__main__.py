@@ -3,6 +3,11 @@
 
     python -m mmore_spark process    --config-file process.yaml
     python -m mmore_spark postprocess --config-file pp.yaml --input out/
+    python -m mmore_spark ingest     --staging st/ --output out/ \
+                                     --checkpoint ck/
+
+``ingest`` is the streaming surface (the reference's job-queue analog,
+run_index_api.py): drain whatever is staged, exactly-once, resumable.
 
 Under spark-submit the same module is the application script:
 
@@ -29,6 +34,14 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--config-file", required=True)
     sq.add_argument("--input", required=True,
                     help="parquet of processed samples (process output)")
+    si = sub.add_parser(
+        "ingest", help="drain staged documents once (AvailableNow) and "
+                       "append newly-extracted triples, exactly-once")
+    si.add_argument("--staging", required=True,
+                    help="directory the documents-table parquet is staged to")
+    si.add_argument("--output", required=True, help="triples output table")
+    si.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint (reruns pick up NEW files)")
     a = p.parse_args(argv)
 
     from .plans import config as C
@@ -36,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(f"mmore-{a.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
+    if a.cmd == "ingest":
+        from .streaming.ingest import stream_extract_triples
+
+        c = stream_extract_triples(spark, a.staging, a.output, a.checkpoint)
+        print(json.dumps({"cmd": "ingest", **c}))
+        return 0
     cfg = C.load_config(a.config_file)
     if a.cmd == "process":
         m: dict = {}

@@ -699,6 +699,116 @@ def _pdf_balanced_dict(data: bytes, start: int) -> bytes:
     return data[start:n]
 
 
+def _ttf_gid_to_unicode(font: bytes) -> "dict[int, str] | None":
+    """Invert an embedded TrueType's ``cmap`` table (unicode → glyph id,
+    formats 4 and 12; best of the (3,10)/(3,1)/(0,x) encodings) into
+    glyph id → unicode.  For an Identity-H CIDFontType2 with
+    /CIDToGIDMap /Identity, CID == GID, so this recovers text from CID
+    PDFs that ship no ToUnicode CMap (the last text-bearing case short
+    of OCR; the reference reaches the same mapping through pymupdf's
+    font machinery, pdf_processor.py:190-258)."""
+    import struct
+
+    try:
+        if len(font) < 12:
+            return None
+        num_tables = struct.unpack(">H", font[4:6])[0]
+        cmap_off = None
+        for i in range(num_tables):
+            rec = font[12 + 16 * i:28 + 16 * i]
+            if len(rec) < 16:
+                return None
+            tag, _chk, off, _ln = struct.unpack(">4sIII", rec)
+            if tag == b"cmap":
+                cmap_off = off
+                break
+        if cmap_off is None or cmap_off + 4 > len(font):
+            return None
+        n_sub = struct.unpack(">H", font[cmap_off + 2:cmap_off + 4])[0]
+        best, best_rank = None, -1
+        for i in range(n_sub):
+            rec = font[cmap_off + 4 + 8 * i:cmap_off + 12 + 8 * i]
+            if len(rec) < 8:
+                break
+            p, e, off = struct.unpack(">HHI", rec)
+            rank = {(3, 10): 4, (3, 1): 3}.get((p, e), 2 if p == 0 else 0)
+            if rank > best_rank:
+                best_rank, best = rank, cmap_off + off
+        if best is None or best + 2 > len(font):
+            return None
+        fmt = struct.unpack(">H", font[best:best + 2])[0]
+        out: dict[int, str] = {}
+        if fmt == 4:
+            segx2 = struct.unpack(">H", font[best + 6:best + 8])[0]
+            segc = segx2 // 2
+            ends = struct.unpack(f">{segc}H", font[best + 14:best + 14 + segx2])
+            so = best + 16 + segx2  # skip reservedPad
+            starts = struct.unpack(f">{segc}H", font[so:so + segx2])
+            deltas = struct.unpack(f">{segc}h", font[so + segx2:so + 2 * segx2])
+            iro_base = so + 2 * segx2
+            iros = struct.unpack(f">{segc}H", font[iro_base:iro_base + segx2])
+            for s in range(segc):
+                for c in range(starts[s], min(ends[s], 0xFFFE) + 1):
+                    if iros[s] == 0:
+                        g = (c + deltas[s]) & 0xFFFF
+                    else:
+                        addr = iro_base + 2 * s + iros[s] + 2 * (c - starts[s])
+                        if addr + 2 > len(font):
+                            continue
+                        g = struct.unpack(">H", font[addr:addr + 2])[0]
+                        if g:
+                            g = (g + deltas[s]) & 0xFFFF
+                    if g:
+                        out.setdefault(g, chr(c))
+        elif fmt == 12:
+            n_groups = struct.unpack(">I", font[best + 12:best + 16])[0]
+            for i in range(min(n_groups, 1 << 20)):
+                rec = font[best + 16 + 12 * i:best + 28 + 12 * i]
+                if len(rec) < 12:
+                    break
+                sc, ec, sg = struct.unpack(">III", rec)
+                for j in range(min(ec - sc + 1, 1 << 16)):
+                    if sc + j <= 0x10FFFF:
+                        out.setdefault(sg + j, chr(sc + j))
+        else:
+            return None
+        return out or None
+    except (struct.error, ValueError, OverflowError):
+        return None
+
+
+def _pdf_type0_font_cmap(fobj: bytes, bodies: "dict[int, bytes]",
+                         stream_raws: "dict[int, bytes]"
+                         ) -> "_PdfFont | None":
+    """Recover a code→unicode map for a Type0 font WITHOUT ToUnicode:
+    /Encoding /Identity-H makes string bytes 2-byte CIDs, a
+    CIDFontType2 descendant with /CIDToGIDMap /Identity (or absent —
+    Identity is the default, PDF 32000-1 §9.7.4.2) makes CID == GID, and
+    the embedded /FontFile2 TrueType's inverted cmap maps GID → unicode.
+    Returns the same (width, map) shape the ToUnicode path produces."""
+    if not re.search(rb"/Encoding\s*/Identity-H\b", fobj):
+        return None
+    mdesc = re.search(rb"/DescendantFonts\s*\[?\s*(\d+)\s+\d+\s+R", fobj)
+    if not mdesc:
+        return None
+    desc = bodies.get(int(mdesc.group(1)), b"")
+    mgid = re.search(rb"/CIDToGIDMap\s*/(\w+)", desc)
+    if mgid and mgid.group(1) != b"Identity":
+        return None  # a GID-map stream would need its own indirection
+    mfd = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R", desc)
+    if not mfd:
+        return None
+    fd = bodies.get(int(mfd.group(1)), b"")
+    mff = re.search(rb"/FontFile2\s+(\d+)\s+\d+\s+R", fd)
+    if not mff:
+        return None
+    prog = stream_raws.get(int(mff.group(1)))
+    if not prog:
+        return None
+    g2u = _ttf_gid_to_unicode(prog)
+    return (2, g2u) if g2u else None
+
+
 def _pdf_resources_fonts(body: bytes, bodies: "dict[int, bytes]",
                          stream_raws: "dict[int, bytes]"
                          ) -> "dict[str, _PdfFont]":
@@ -725,17 +835,17 @@ def _pdf_resources_fonts(body: bytes, bodies: "dict[int, bytes]",
             continue
         fobj = bodies.get(int(mname.group(2)), b"")
         mtu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fobj)
-        if not mtu:
-            # composite fonts without ToUnicode show opaque CID codes:
-            # mark so their strings drop instead of decoding as mojibake
-            if re.search(rb"/Subtype\s*/Type0\b", fobj):
-                fonts[name] = _CID_OPAQUE
-            continue
-        cmap = _pdf_cmap(stream_raws.get(int(mtu.group(1)), b""))
+        cmap = _pdf_cmap(stream_raws.get(int(mtu.group(1)), b"")) \
+            if mtu else None
         if cmap:
             fonts[name] = cmap
         elif re.search(rb"/Subtype\s*/Type0\b", fobj):
-            fonts[name] = _CID_OPAQUE
+            # composite font without a usable ToUnicode: try inverting
+            # the embedded TrueType's cmap (Identity-H, CID == GID);
+            # failing that, mark opaque so strings drop instead of
+            # decoding as latin-1 mojibake
+            fonts[name] = (_pdf_type0_font_cmap(fobj, bodies, stream_raws)
+                           or _CID_OPAQUE)
     return fonts
 
 
@@ -1142,8 +1252,10 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
     (PDF 1.5 compressed-xref files keep their page tree resolvable),
     ToUnicode CMap decoding (CID-encoded text WITH a ToUnicode map
     extracts correctly), and the LZW / ASCIIHex / ASCII85 filters plus
-    PNG predictors on Flate/LZW (_pdf_decode_stream).  Documents with NO
-    extractable text (image-only/scanned pages, CID without ToUnicode)
+    PNG predictors on Flate/LZW (_pdf_decode_stream).  CID text WITHOUT
+    ToUnicode recovers through the embedded TrueType's inverted cmap
+    when /FontFile2 is present (_pdf_type0_font_cmap); documents with NO
+    extractable text (image-only/scanned pages, unrecoverable CID fonts)
     degrade to one page-image media span per page instead of raising;
     encrypted files with a real user password still raise per file
     (isolated by the Arrow stage's error column)."""
@@ -1238,6 +1350,11 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
     for body in bodies.values():
         for tu in re.findall(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body):
             non_content.add(int(tu))
+        # embedded font programs are binary that can contain "BT"/"Do"
+        # byte runs by chance — never replay them as page content
+        for ff in re.findall(
+                rb"/FontFile2?3?\s+(\d+)\s+\d+\s+R", body):
+            non_content.add(int(ff))
 
     # pass 3 — replay text shows with the owning page's font CMaps
     extracted: list[tuple[int, int | None, str]] = []  # (offset, objnum, text)

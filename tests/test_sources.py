@@ -968,3 +968,70 @@ def test_parse_pdf_garbage_still_raises():
 
     with _pytest.raises(NotImplementedError):
         registry.parse_pdf("/m/junk.pdf", b"this is not a pdf at all")
+
+
+def _make_ttf_cmap4(char_to_gid: dict) -> bytes:
+    """Minimal TrueType: sfnt header + ONE table ('cmap') holding a single
+    format-4 subtable under the (3,1) windows-unicode encoding."""
+    import struct
+
+    segs = [(ord(c), ord(c), g) for c, g in sorted(char_to_gid.items())]
+    segs.append((0xFFFF, 0xFFFF, 0))
+    segc = len(segs)
+    sub = struct.pack(">HHHHHHH", 4, 16 + 8 * segc, 0, segc * 2, 0, 0, 0)
+    sub += b"".join(struct.pack(">H", e) for _s, e, _g in segs)
+    sub += struct.pack(">H", 0)  # reservedPad
+    sub += b"".join(struct.pack(">H", s) for s, _e, _g in segs)
+    sub += b"".join(struct.pack(">H", (g - s) & 0xFFFF) for s, _e, g in segs)
+    sub += struct.pack(f">{segc}H", *([0] * segc))  # idRangeOffset
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+    header = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+    record = struct.pack(">4sIII", b"cmap", 0, 28, len(cmap))
+    return header + record + cmap
+
+
+def test_parse_pdf_cid_recovered_from_embedded_truetype_cmap():
+    """Round 5: an Identity-H CIDFontType2 WITHOUT ToUnicode but WITH an
+    embedded TrueType (/FontFile2) recovers text by inverting the font's
+    own cmap (CID == GID under /CIDToGIDMap /Identity)."""
+    text = "Cid ok"
+    char_to_gid = {c: i + 1 for i, c in enumerate(dict.fromkeys(text))}
+    ttf = _make_ttf_cmap4(char_to_gid)
+    codes = "".join(f"{char_to_gid[c]:04x}" for c in text)
+    content = f"BT /F1 12 Tf <{codes}> Tj ET".encode()
+    body = (
+        b"%PDF-1.5\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        + _streamobj(4, content)
+        + b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Emb "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] >> endobj\n"
+        b"6 0 obj << /Type /Font /Subtype /CIDFontType2 "
+        b"/FontDescriptor 7 0 R /CIDToGIDMap /Identity >> endobj\n"
+        b"7 0 obj << /Type /FontDescriptor /FontName /Emb "
+        b"/FontFile2 8 0 R >> endobj\n"
+        + _streamobj(8, ttf)
+        + b"%%EOF\n"
+    )
+    got, refs = registry.parse_pdf("/m/embcid.pdf", body)
+    assert got == text and refs == []
+
+
+def test_ttf_cmap_format12_inversion():
+    """The format-12 (segmented coverage) branch: supplementary-plane
+    groups invert too."""
+    import struct
+
+    from mmore_spark.sources.registry import _ttf_gid_to_unicode
+
+    groups = [(0x41, 0x43, 10), (0x1F600, 0x1F601, 50)]
+    sub = struct.pack(">HHIII", 12, 0, 16 + 12 * len(groups), 0, len(groups))
+    for sc, ec, sg in groups:
+        sub += struct.pack(">III", sc, ec, sg)
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 10, 12) + sub
+    header = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+    record = struct.pack(">4sIII", b"cmap", 0, 28, len(cmap))
+    g2u = _ttf_gid_to_unicode(header + record + cmap)
+    assert g2u[10] == "A" and g2u[12] == "C" and g2u[50] == "\U0001F600"

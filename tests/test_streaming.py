@@ -385,3 +385,23 @@ def test_seen_bucket_count_pinned_in_layout_marker(spark, tmp_path):
         assert ingest._seen_nbuckets(seen) == n1  # layout keeps its count
     finally:
         ingest.SEEN_BUCKETS = orig
+
+
+def test_cli_ingest_verb(spark, tmp_path, capsys):
+    """`python -m mmore_spark ingest` drains the staged documents once and
+    reports the drain counters; a rerun drains nothing new."""
+    import json as _json
+
+    from mmore_spark.__main__ import main
+
+    staging = str(tmp_path / "st")
+    os.makedirs(staging)
+    generate_documents(spark, 10, seed=2).write.mode("append").parquet(staging)
+    args = ["ingest", "--staging", staging, "--output",
+            str(tmp_path / "o"), "--checkpoint", str(tmp_path / "ck")]
+    assert main(args) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cmd"] == "ingest" and out["rows_written"] > 0
+    assert main(args) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows_written"] == 0
