@@ -103,13 +103,21 @@ def run_process(spark: SparkSession, cfg: dict, incremental: bool = True,
         ).withColumn("processed_at", F.current_timestamp())
     current = crawled.select("file_path")
     out = merge_results(reused, new_rows, current)
+    deleted = deleted_keys(prev, current)
     if metrics is not None:
         metrics["processed"] = n_todo
         metrics["reused"] = reused.count()
-        metrics["deleted"] = deleted_keys(prev, current).count()
+        metrics["deleted"] = deleted.count()
     if out_path:
-        tables.replace_table(spark, out_path, out, stage="process")
-        out = tables.read_table(spark, out_path)
+        if n_todo == 0 and prev_path == out_path and deleted.isEmpty():
+            # nothing parsed, nothing deleted: the table on disk already
+            # IS the merged result — skip the full rewrite (the dominant
+            # no-change cost; measured 9.9 → ~2 s on a 300-file corpus,
+            # scripts/incremental_bench.py)
+            out = tables.read_table(spark, out_path)
+        else:
+            tables.replace_table(spark, out_path, out, stage="process")
+            out = tables.read_table(spark, out_path)
     todo.unpersist()
     return out
 

@@ -147,12 +147,16 @@ def test_run_process_incremental_reuse(spark, tmp_path):
     rows1 = {r["file_path"].rsplit("/", 1)[-1]: r for r in out1.collect()}
     assert set(rows1) == {"x.txt", "y.md"} and m1["reused"] == 0
 
+    marker = os.path.join(outp, "_MMORE_COMPLETE")
+    marker_mtime = os.path.getmtime(marker)
     m2: dict = {}
     out2 = CFG.run_process(spark, cfg, metrics=m2)
     rows2 = {r["file_path"].rsplit("/", 1)[-1]: r for r in out2.collect()}
     assert m2 == {"processed": 0, "reused": 2, "deleted": 0}
     # reused rows keep their original processed_at
     assert rows2["x.txt"]["processed_at"] == rows1["x.txt"]["processed_at"]
+    # and the no-change rerun did NOT rewrite the output table
+    assert os.path.getmtime(marker) == marker_mtime
 
     (d / "x.txt").write_text("edited x")
     future = time.time() + 60
