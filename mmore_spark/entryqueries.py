@@ -1999,6 +1999,72 @@ _df_query("pdf_image_only_spans", _pdf_image_only_spans_spark,
           _pdf_image_only_spans_duck())
 
 
+def _pdf_cid_ttf_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CID-without-ToUnicode recovery under the oracle gate (round 5):
+    every document's text is written as 2-byte Identity-H CID codes in a
+    PDF whose Type0 font ships NO ToUnicode — only an embedded TrueType
+    (/FontFile2) whose format-4 cmap maps unicode→GID identically
+    (GID = code point over one 0x09..0x7E segment).  parse_pdf must
+    recover the text by inverting that cmap (sources/registry.
+    _pdf_type0_font_cmap); the oracle is the text column itself."""
+    import struct
+
+    from .sources.registry import parse_pdf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    # constant minimal TrueType: one 'cmap' table, one (3,1) format-4
+    # subtable, one segment 0x09..0x7E with delta 0 (GID == code point)
+    segs = [(0x09, 0x7E, 0), (0xFFFF, 0xFFFF, 0)]
+    segc = len(segs)
+    sub = struct.pack(">HHHHHHH", 4, 16 + 8 * segc, 0, segc * 2, 0, 0, 0)
+    sub += b"".join(struct.pack(">H", e) for _s, e, _d in segs)
+    sub += struct.pack(">H", 0)
+    sub += b"".join(struct.pack(">H", s) for s, _e, _d in segs)
+    sub += b"".join(struct.pack(">H", d) for _s, _e, d in segs)
+    sub += struct.pack(f">{segc}H", *([0] * segc))
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+    ttf = (struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+           + struct.pack(">4sIII", b"cmap", 0, 28, len(cmap)) + cmap)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                codes = "".join(f"{ord(c):04x}" for c in txt).encode()
+                content = b"BT /F1 12 Tf <" + codes + b"> Tj ET"
+                body = (
+                    b"%PDF-1.5\n"
+                    b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+                    b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+                    b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                    b"/Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+                    b"4 0 obj << /Length " + str(len(content)).encode()
+                    + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+                    b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Emb "
+                    b"/Encoding /Identity-H /DescendantFonts [6 0 R] >> endobj\n"
+                    b"6 0 obj << /Type /Font /Subtype /CIDFontType2 "
+                    b"/FontDescriptor 7 0 R /CIDToGIDMap /Identity >> endobj\n"
+                    b"7 0 obj << /Type /FontDescriptor /FontName /Emb "
+                    b"/FontFile2 8 0 R >> endobj\n"
+                    b"8 0 obj << /Length " + str(len(ttf)).encode()
+                    + b" >>\nstream\n" + ttf + b"\nendstream\nendobj\n"
+                    b"%%EOF\n"
+                )
+                text2, _refs = parse_pdf(f"mem://{d}.pdf", body)
+                out.append({"doc_id": str(d), "text": text2})
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    return docs.mapInPandas(run, "doc_id string, text string").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
+_df_query("pdf_cid_ttf_roundtrip", _pdf_cid_ttf_roundtrip_spark,
+          "SELECT doc_id, text FROM documents")
+
+
 def _eml_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL EML parsing under the oracle gate: wrap every document's text
     in an RFC-822 message with doc_id-derived headers, parse with the REAL
