@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--config-file", required=True)
     sq.add_argument("--input", required=True,
                     help="parquet of processed samples (process output)")
+    sq.add_argument("--no-incremental", action="store_true",
+                    help="re-run the module chain for every row even when "
+                         "previous postprocess results exist (required "
+                         "after changing pp_modules)")
     si = sub.add_parser(
         "ingest", help="drain staged documents once (AvailableNow) and "
                        "append newly-extracted triples, exactly-once")
@@ -65,9 +69,11 @@ def main(argv: list[str] | None = None) -> int:
                           "errors": errors, **m}))
     else:
         df = spark.read.parquet(a.input)
-        out = C.run_postprocess(df, cfg)
+        m = {}
+        out = C.run_postprocess(df, cfg, incremental=not a.no_incremental,
+                                metrics=m)
         print(json.dumps({"cmd": "postprocess", "rows": out.count(),
-                          "columns": out.columns}))
+                          "columns": out.columns, **m}))
     return 0
 
 

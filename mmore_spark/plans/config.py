@@ -249,13 +249,73 @@ def apply_pp_modules(df: DataFrame, modules: list[dict]) -> DataFrame:
     return df
 
 
-def run_postprocess(df: DataFrame, cfg: dict) -> DataFrame:
+def run_postprocess(df: DataFrame, cfg: dict, incremental: bool = True,
+                    metrics: dict | None = None) -> DataFrame:
     """The ``mmore postprocess`` entrypoint over a processed samples
     DataFrame: apply the pp_modules chain; write merged output (and the
     reference's save_each_step is the KGPipeline per-stage write — use
-    plans.pipeline for lineage-tracked materialization)."""
-    out = apply_pp_modules(df, cfg.get("pp_modules", []))
+    plans.pipeline for lineage-tracked materialization).
+
+    The reference's postprocess half of the reuse matrix
+    (incremental.py:84-107, pipeline.py:122-196) applies by default when
+    previous results exist at the output path (or ``previous_results``)
+    AND both sides carry ``processed_at``: inputs whose timestamp ≤ the
+    minimum cached timestamp for their key are REUSED from the previous
+    output without re-running the module chain.  Rows deleted from the
+    input drop from the merged output.  Changing ``pp_modules`` between
+    runs changes the output schema — rerun with ``incremental=False``
+    (the CLI's ``--no-incremental``) in that case."""
+    import os
+
+    from ..io import tables
+    from ..operators.incremental import (
+        merge_results, split_reusable_postprocess)
+
     ocfg = cfg.get("output", {})
-    if ocfg.get("output_path"):
-        out.write.mode("overwrite").parquet(ocfg["output_path"])
+    out_path = ocfg.get("output_path")
+    prev_path = cfg.get("previous_results") or out_path
+    idc = _id_col(df)
+    prev = None
+    if (incremental and prev_path and os.path.isdir(prev_path)
+            and "processed_at" in df.columns):
+        try:
+            prev = tables.read_table(df.sparkSession, prev_path)
+        except Exception:
+            log.warning("previous postprocess results at %s unreadable; "
+                        "full rerun", prev_path)
+        if prev is not None and ("processed_at" not in prev.columns
+                                 or idc not in prev.columns):
+            prev = None
+
+    if prev is None:
+        out = apply_pp_modules(df, cfg.get("pp_modules", []))
+        if out_path:
+            tables.replace_table(df.sparkSession, out_path, out,
+                                 stage="postprocess")
+            out = tables.read_table(df.sparkSession, out_path)
+        return out
+
+    reusable, todo = split_reusable_postprocess(df, prev, key=idc)
+    todo = todo.persist()
+    n_todo = todo.count()
+    reused = prev.join(reusable.select(idc), idc, "left_semi")
+    current = df.select(idc).distinct()
+    deleted = prev.select(idc).distinct().join(current, idc, "left_anti")
+    if n_todo == 0:
+        out = reused.join(current, idc, "left_semi")
+    else:
+        new_rows = apply_pp_modules(todo, cfg.get("pp_modules", []))
+        out = merge_results(reused, new_rows, current, key=idc)
+    if metrics is not None:
+        metrics["processed"] = n_todo
+        metrics["reused"] = reusable.select(idc).distinct().count()
+        metrics["deleted"] = deleted.count()
+    if out_path:
+        if n_todo == 0 and prev_path == out_path and deleted.isEmpty():
+            out = tables.read_table(df.sparkSession, out_path)
+        else:
+            tables.replace_table(df.sparkSession, out_path, out,
+                                 stage="postprocess")
+            out = tables.read_table(df.sparkSession, out_path)
+    todo.unpersist()
     return out

@@ -179,3 +179,42 @@ def test_run_process_incremental_reuse(spark, tmp_path):
     out5 = CFG.run_process(spark, cfg, incremental=False, metrics=m5)
     assert m5["reused"] == 0
     assert out5.count() == 1
+
+
+def test_run_postprocess_incremental_reuse(spark, tmp_path):
+    """Round 5: the postprocess half of the reference's reuse matrix —
+    a second run with unchanged inputs re-runs the chain for 0 rows, a
+    row with a NEWER processed_at reprocesses alone, and a row deleted
+    from the input drops from the merged output."""
+    from datetime import datetime
+
+    t1 = datetime(2024, 1, 1)
+    t2 = datetime(2024, 6, 1)
+    df = spark.createDataFrame(
+        [("a", "alpha words here", t1), ("b", "beta text body", t1)],
+        "doc_id string, text string, processed_at timestamp")
+    outp = str(tmp_path / "pp_out")
+    cfg = {"pp_modules": [{"type": "words_counter"}],
+           "output": {"output_path": outp}}
+
+    m1: dict = {}
+    out1 = CFG.run_postprocess(df, cfg, metrics=m1)
+    assert m1 == {} or m1.get("reused", 0) == 0  # first run: no previous
+    assert {r["doc_id"]: r["word_count"] for r in out1.collect()} \
+        == {"a": 3, "b": 3}
+
+    m2: dict = {}
+    CFG.run_postprocess(df, cfg, metrics=m2)
+    assert m2 == {"processed": 0, "reused": 2, "deleted": 0}
+
+    df2 = spark.createDataFrame(
+        [("a", "alpha words here now longer", t2)],  # b deleted, a newer
+        "doc_id string, text string, processed_at timestamp")
+    m3: dict = {}
+    out3 = CFG.run_postprocess(df2, cfg, metrics=m3)
+    assert m3 == {"processed": 1, "reused": 0, "deleted": 1}
+    assert {r["doc_id"]: r["word_count"] for r in out3.collect()} == {"a": 5}
+
+    # --no-incremental path still works over the existing output
+    out4 = CFG.run_postprocess(df2, cfg, incremental=False)
+    assert out4.count() == 1
