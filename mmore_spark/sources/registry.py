@@ -794,7 +794,12 @@ def _pdf_type0_font_cmap(fobj: bytes, bodies: "dict[int, bytes]",
     desc = bodies.get(int(mdesc.group(1)), b"")
     mgid = re.search(rb"/CIDToGIDMap\s*/(\w+)", desc)
     if mgid and mgid.group(1) != b"Identity":
-        return None  # a GID-map stream would need its own indirection
+        return None
+    # CIDToGIDMap may also be an embedded STREAM of 2-byte big-endian
+    # GIDs indexed by CID (PDF 32000-1 §9.7.4.3) — compose it with the
+    # inverted cmap below
+    mgid_ref = re.search(rb"/CIDToGIDMap\s+(\d+)\s+\d+\s+R", desc)
+    gidmap = stream_raws.get(int(mgid_ref.group(1))) if mgid_ref else None
     mfd = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R", desc)
     if not mfd:
         return None
@@ -806,7 +811,16 @@ def _pdf_type0_font_cmap(fobj: bytes, bodies: "dict[int, bytes]",
     if not prog:
         return None
     g2u = _ttf_gid_to_unicode(prog)
-    return (2, g2u) if g2u else None
+    if not g2u:
+        return None
+    if gidmap:
+        c2u = {}
+        for cid in range(len(gidmap) // 2):
+            gid = int.from_bytes(gidmap[2 * cid:2 * cid + 2], "big")
+            if gid in g2u:
+                c2u.setdefault(cid, g2u[gid])
+        return (2, c2u) if c2u else None
+    return (2, g2u)
 
 
 def _pdf_resources_fonts(body: bytes, bodies: "dict[int, bytes]",
@@ -1350,10 +1364,11 @@ def parse_pdf(path: str, payload: bytes) -> tuple[str, list]:
     for body in bodies.values():
         for tu in re.findall(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body):
             non_content.add(int(tu))
-        # embedded font programs are binary that can contain "BT"/"Do"
-        # byte runs by chance — never replay them as page content
+        # embedded font programs and CID→GID map streams are binary that
+        # can contain "BT"/"Do" byte runs by chance — never replay them
+        # as page content
         for ff in re.findall(
-                rb"/FontFile2?3?\s+(\d+)\s+\d+\s+R", body):
+                rb"/(?:FontFile2?3?|CIDToGIDMap)\s+(\d+)\s+\d+\s+R", body):
             non_content.add(int(ff))
 
     # pass 3 — replay text shows with the owning page's font CMaps

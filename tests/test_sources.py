@@ -1035,3 +1035,41 @@ def test_ttf_cmap_format12_inversion():
     record = struct.pack(">4sIII", b"cmap", 0, 28, len(cmap))
     g2u = _ttf_gid_to_unicode(header + record + cmap)
     assert g2u[10] == "A" and g2u[12] == "C" and g2u[50] == "\U0001F600"
+
+
+def test_parse_pdf_cid_with_gidmap_stream():
+    """A /CIDToGIDMap STREAM (2-byte big-endian GIDs indexed by CID)
+    composes with the embedded TrueType's inverted cmap: CID→GID→unicode."""
+    import struct
+
+    text = "Map ok"
+    uniq = list(dict.fromkeys(text))
+    # GIDs deliberately NOT equal to CIDs: gid = 100 + i, cid = i + 1
+    char_to_gid = {c: 100 + i for i, c in enumerate(uniq)}
+    char_to_cid = {c: i + 1 for i, c in enumerate(uniq)}
+    ttf = _make_ttf_cmap4(char_to_gid)
+    n_cids = len(uniq) + 1
+    gidmap = bytearray(2 * n_cids)
+    for c in uniq:
+        struct.pack_into(">H", gidmap, 2 * char_to_cid[c], char_to_gid[c])
+    codes = "".join(f"{char_to_cid[c]:04x}" for c in text)
+    content = f"BT /F1 12 Tf <{codes}> Tj ET".encode()
+    body = (
+        b"%PDF-1.5\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        + _streamobj(4, content)
+        + b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Emb "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] >> endobj\n"
+        b"6 0 obj << /Type /Font /Subtype /CIDFontType2 "
+        b"/FontDescriptor 7 0 R /CIDToGIDMap 9 0 R >> endobj\n"
+        b"7 0 obj << /Type /FontDescriptor /FontName /Emb "
+        b"/FontFile2 8 0 R >> endobj\n"
+        + _streamobj(8, ttf)
+        + _streamobj(9, bytes(gidmap))
+        + b"%%EOF\n"
+    )
+    got, refs = registry.parse_pdf("/m/gidmap.pdf", body)
+    assert got == text and refs == []
