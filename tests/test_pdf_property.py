@@ -145,3 +145,24 @@ def test_cmap_bfchar_roundtrip(mapping):
     codes = list(mapping)
     raw = b"".join(c.to_bytes(2, "big") for c in codes)
     assert _pdf_decode_shown(raw, font) == "".join(mapping[c] for c in codes)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dictionaries(
+    st.characters(min_codepoint=0x20, max_codepoint=0x2FA0),
+    st.integers(min_value=1, max_value=0xFFFE),
+    min_size=1, max_size=50))
+def test_ttf_cmap4_inversion_roundtrip(char_to_gid):
+    """Property: any format-4 cmap built from a char→gid map inverts to
+    a gid→char map covering every pair whose gid is unambiguous (two
+    chars may share a gid — the inverse keeps the first by code order,
+    matching the parser's setdefault)."""
+    from mmore_spark.sources.registry import _ttf_gid_to_unicode
+    from tests.test_sources import _make_ttf_cmap4
+
+    g2u = _ttf_gid_to_unicode(_make_ttf_cmap4(char_to_gid))
+    assert g2u is not None
+    expect = {}
+    for c in sorted(char_to_gid):
+        expect.setdefault(char_to_gid[c], c)
+    assert g2u == expect
