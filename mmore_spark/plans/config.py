@@ -163,10 +163,33 @@ def _build_filter(mtype: str, args: dict):
         # expression over columns (trusted config, as in the reference)
         return lambda df: F.expr(args["filter_expr"])
     if mtype == "filter_fasttext":
+        import os as _os
+
+        model_path = args.get("model_url") or args.get("model_path") or ""
+        if model_path and _os.path.exists(model_path):
+            # a real fasttext model.bin: classify via the pure-numpy
+            # loader (operators/fasttext_bin) and keep rows whose best
+            # label is in keep_labels (datatrove's keep semantics)
+            keep = set(args.get("keep_labels") or ["__label__hq"])
+            thr = float(args.get("filter_threshold", 0.5))
+
+            def apply_ft(df):
+                from ..operators.fasttext_bin import fasttext_classify
+
+                scored = fasttext_classify(df, model_path)
+                return scored.filter(
+                    F.col("ft_label").isin(list(keep))
+                    & (F.col("ft_prob") >= thr)
+                ).drop("ft_label", "ft_prob")
+
+            apply_ft._is_stage = True  # whole-DataFrame stage, not a column
+            return apply_ft
         raise NotImplementedError(
-            "filter_fasttext needs an external model file; train the "
-            "in-engine equivalent with operators/classifier.py "
-            "(HashingTF + LogisticRegression) and use quality_filter()")
+            "filter_fasttext needs a model file (model_url/model_path "
+            "pointing at a fasttext .bin — loaded natively by "
+            "operators/fasttext_bin); or train the in-engine equivalent "
+            "with operators/classifier.py (HashingTF + LogisticRegression) "
+            "and use quality_filter()")
     raise ValueError(f"unrecognized filter type: {mtype}")
 
 
@@ -241,9 +264,13 @@ def apply_pp_modules(df: DataFrame, modules: list[dict]) -> DataFrame:
             df = (df.join(sc, idc)
                   .filter(F.col("avg_logprob") >= thr).drop("avg_logprob"))
         elif mtype.startswith("filter") or mtype == "sampler":
-            df = FL.apply_filters(
-                df, {mtype: _build_filter(mtype, args)},
-                rejected_path=args.get("exclusion_writer"))
+            fn = _build_filter(mtype, args)
+            if getattr(fn, "_is_stage", False):
+                df = fn(df)  # whole-DataFrame stage (fasttext classify)
+            else:
+                df = FL.apply_filters(
+                    df, {mtype: fn},
+                    rejected_path=args.get("exclusion_writer"))
         else:
             raise ValueError(f"unrecognized pp module type: {mtype}")
     return df
