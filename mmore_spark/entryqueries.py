@@ -2542,7 +2542,8 @@ def _clean_text_norm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     text deterministically — control bytes, tab runs, an email address and
     a URL — and normalize with the REAL native column.  The oracle is an
     independent DuckDB regexp chain applying the same contract (strip
-    control chars, collapse blanks, mask emails/urls, trim)."""
+    control chars, collapse blanks, emails -> the reference's literal
+    email@email.com replacement, URLs untouched, trim)."""
     from .operators.taggers import clean_text
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -2570,11 +2571,10 @@ WITH dirty AS (
     FROM documents
 )
 SELECT doc_id,
-       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       trim(regexp_replace(regexp_replace(regexp_replace(
            t, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
            '[ \t]+', ' ', 'g'),
-           '\S+@\S+\.\S+', '<EMAIL>', 'g'),
-           'https?://\S+', '<URL>', 'g')) AS text_clean
+           '\S+@\S+\.\S+', 'email@email.com', 'g')) AS text_clean
 FROM dirty
 """)
 

@@ -58,15 +58,19 @@ def metafuse(template: str, text: str = "text", prepend: bool = True,
 
 
 def clean_text(text: str = "text") -> Column:
-    """Native approximation of process/utils.py:28-57 ``clean_text``
-    (cleantext lib): collapse whitespace, strip control chars, lower-noise
-    email/url placeholders.  Exact lib parity would wrap ``cleantext`` in
-    a pandas UDF — the seam is the same column contract."""
+    """Native slice of process/utils.py:28-57 ``clean_text``, matching
+    the reference's EXACT cleantext flag set for what is expressible
+    without the library: the only substitution it enables is
+    ``no_emails=True`` with ``replace_with_email="email@email.com"``
+    (URLs/phones/numbers/punct are all left alone, ``lower=False``,
+    line breaks kept), plus cleantext's always-on whitespace collapse
+    and our control-char strip standing in for ftfy's fix_unicode.
+    Round 5: the old approximation masked URLs and used placeholder
+    tokens — both deviations from the reference's flags."""
     c = F.col(text)
     c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
     c = F.regexp_replace(c, r"[ \t]+", " ")
-    c = F.regexp_replace(c, r"\S+@\S+\.\S+", "<EMAIL>")
-    c = F.regexp_replace(c, r"https?://\S+", "<URL>")
+    c = F.regexp_replace(c, r"\S+@\S+\.\S+", "email@email.com")
     return F.trim(c).alias("text_clean")
 
 

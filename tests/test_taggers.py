@@ -51,5 +51,8 @@ def test_metafuse_and_clean(spark):
     assert fused.startswith("doc report\n")
     cleaned = df.select(TG.clean_text()).collect()[0]["text_clean"]
     assert "\x01" not in cleaned
-    assert "<EMAIL>" in cleaned and "<URL>" in cleaned
+    # the reference's cleantext flag set: emails become the literal
+    # email@email.com, URLs are NOT touched (no_urls=False)
+    assert "email@email.com" in cleaned and "a@b.com" not in cleaned
+    assert "https://x.y/z" in cleaned
     assert "  " not in cleaned.replace("\n", " ")
