@@ -196,13 +196,14 @@ def parse_html(path: str, payload: bytes) -> tuple[str, list]:
 
 
 def _clean_py(text: str) -> str:
-    """Python twin of operators.taggers.clean_text (native approximation of
-    the reference's cleantext wrapper, process/utils.py:28-57): strip
-    control chars, collapse horizontal whitespace, mask emails/urls."""
+    """Python twin of operators.taggers.clean_text (the reference's
+    exact cleantext flag slice, process/utils.py:28-57): strip control
+    chars, collapse horizontal whitespace, and substitute emails with
+    the literal email@email.com — the ONLY replacement the reference
+    enables (URLs/case/line breaks untouched)."""
     text = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", text)
     text = re.sub(r"[ \t]+", " ", text)
-    text = re.sub(r"\S+@\S+\.\S+", "<EMAIL>", text)
-    text = re.sub(r"https?://\S+", "<URL>", text)
+    text = re.sub(r"\S+@\S+\.\S+", "email@email.com", text)
     return text.strip()
 
 

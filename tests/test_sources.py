@@ -812,8 +812,10 @@ def test_parse_eml():
     cleaned text/plain parts + image parts as attachment placeholders."""
     text, refs = registry.parse_eml("/m/a.eml", _make_eml())
     lines = text.split("\n")
-    assert lines[0] == "From: Alice Keller <EMAIL>"  # <addr> masked whole
-    assert lines[1] == "To: Bruno Moreau <EMAIL>"
+    # the reference's cleantext flags substitute the literal
+    # email@email.com; "<addr>" masks as one \S+ token
+    assert lines[0] == "From: Alice Keller email@email.com"
+    assert lines[1] == "To: Bruno Moreau email@email.com"
     assert lines[2] == "Subject: Quarterly sync"
     assert lines[3].startswith("Date: Mon, 10 Mar 2025")
     assert "the merger review is attached." in text  # whitespace collapsed
