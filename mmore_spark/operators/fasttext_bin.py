@@ -77,15 +77,23 @@ class FastTextModel:
         return out
 
     def _line_rows(self, tokens: list[str]) -> list[int]:
+        """fasttext Dictionary::getLine + addWordNgrams fidelity: every
+        word-type token's hash joins the rolling word-ngram combination
+        (known or NOT — unknown words still shape the ngram buckets);
+        known words contribute their id + subword ngrams, unknown words
+        subword ngrams only, and EOS contributes just its id (initNgrams
+        skips EOS)."""
         a = self.args
         rows, word_hashes = [], []
         for w in tokens:
             wid = self.word_ids.get(w)
             if wid is not None:
                 rows.append(wid)
-                word_hashes.append(self._hash(w.encode("utf-8")))
-            rows.extend(self._subwords(w))
-        # addWordNgrams (dictionary.cc): rolling 116049371 combination
+                if w != "</s>":
+                    rows.extend(self._subwords(w))
+            else:
+                rows.extend(self._subwords(w))
+            word_hashes.append(self._hash(w.encode("utf-8")))
         if a["wordNgrams"] > 1:
             for i in range(len(word_hashes)):
                 h = word_hashes[i]
