@@ -228,7 +228,15 @@ def _fold_files(spark: SparkSession, files: list, dest_dir: str,
     the sources second.  Crash between the two leaves a duplicate superset
     — semantically identical under the readers' ``.distinct()``, never a
     loss.  Returns False (sources kept) if the write did not complete."""
-    tmp = dest_dir.rstrip("/") + ".__fold_tmp"
+    # the tmp lives as an underscore-prefixed SIBLING with NO "=" in its
+    # name: a crash remnant shaped like "bucket=3.__fold_tmp" (or any
+    # name containing "=") inside history/ would be parsed as a
+    # partition directory and poison discovery; "_"-prefixed,
+    # "="-free names are invisible to Spark's file index
+    d = dest_dir.rstrip("/")
+    tmp = os.path.join(
+        os.path.dirname(d),
+        "_fold_tmp_" + os.path.basename(d).replace("=", "-"))
     shutil.rmtree(tmp, ignore_errors=True)
     df = spark.read.parquet(*files)
     if partitioned:

@@ -405,3 +405,32 @@ def test_cli_ingest_verb(spark, tmp_path, capsys):
     assert main(args) == 0
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["rows_written"] == 0
+
+
+def test_crashed_fold_remnant_does_not_poison_history_reads(spark, tmp_path):
+    """A fold that crashed after writing its tmp must not break later
+    partition-discovery reads: the tmp is an underscore-prefixed sibling
+    (invisible to Spark's file index), never a bucket=*-shaped dir
+    inside history/."""
+    from mmore_spark.streaming.ingest import (
+        SEEN_COMPACT_MAX_FILES, _read_seen, _seen_bucket)
+    from pyspark.sql import functions as F
+
+    seen = str(tmp_path / "o" / "_seen_ids")
+    hist = os.path.join(seen, "history")
+    ids = spark.createDataFrame([(f"d{i}",) for i in range(50)],
+                                "doc_id string")
+    (ids.withColumn("bucket", _seen_bucket(64))
+     .repartition("bucket").write.partitionBy("bucket").parquet(hist))
+    # simulate a crashed bucket-level fold: tmp written, sources not yet
+    # retired, process died
+    some_bucket = next(n for n in os.listdir(hist) if n.startswith("bucket="))
+    # the "=" must be sanitized out of the remnant name — Spark parses
+    # ANY "x=y" directory as a partition column, underscore or not
+    remnant = os.path.join(hist, "_fold_tmp_" + some_bucket.replace("=", "-"))
+    os.makedirs(remnant)
+    spark.createDataFrame([("dX",)], "doc_id string").coalesce(1) \
+        .write.parquet(os.path.join(remnant, "inner"))
+    got = _read_seen(spark, seen, buckets=list(range(64)))
+    vals = {r["doc_id"] for r in got.collect()}
+    assert vals == {f"d{i}" for i in range(50)}  # remnant invisible
