@@ -33,17 +33,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
-def _register_views(spark: SparkSession, sf_dir: str) -> None:
-    for t in TABLES:
+def _register_views(spark: SparkSession, sf_dir: str,
+                    only: list[str] | None = None) -> None:
+    """Register the sf tables as temp views.  ``only`` restricts to the
+    tables a query actually references — each registration is a driver-side
+    parquet schema read (~100 ms), so registering all 10 cost ~1 s of pure
+    latency per query invocation (r6, guide §1.2/§7.3 driver-side work)."""
+    for t in (only if only is not None else TABLES):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
 def _sql_query(name: str, build_sql: Callable[[Dialect], str]) -> None:
     """Register a query whose Spark plan is the SPARK-dialect SQL (fully
     Catalyst-optimized) and whose oracle is the DUCK-dialect SQL."""
+    import re as _re
+
+    sql = build_sql(SPARK)
+    # self-contained SQL referencing bare lowercase table names — register
+    # exactly those (word-boundary match keeps 'part' from matching
+    # 'partition' etc.)
+    used = [t for t in TABLES if _re.search(rf"\b{t}\b", sql)]
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _register_views(spark, sf_dir)
+        _register_views(spark, sf_dir, only=used)
         return spark.sql(build_sql(SPARK))
 
     QUERIES[name] = run
@@ -83,14 +95,27 @@ def _kg_triples_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     (derive.augmented), then all 12 extraction regexes evaluated in a
     single projection and exploded.  The SQL-generated twin (12 UNION
     arms, giant CASE) re-scans 12× and overflows janino codegen; this
-    shape is what survives at 100 TB."""
+    shape is what survives at 100 TB.
+
+    r6 (guide §1.2 "per-task work"): each regexp_extract is gated behind a
+    cheap ``instr(t2, mid) > 0`` check on the template's literal middle
+    text.  Every pattern contains its escaped mid as a mandatory literal,
+    so when the mid is absent the regex cannot match and regexp_extract
+    would return '' anyway — the gate is semantically exact and replaces
+    ~24 full alternation-regex scans per doc (~300-alias alternations,
+    backtracking at every position) with 12 Boyer-Moore substring scans
+    plus the one or two regexes that can actually fire."""
     derive.augmented(spark, sf_dir).createOrReplaceTempView("__aug")
     structs = []
-    for pattern, pred, _st, _ot in derive.extraction_patterns():
+    for (pattern, pred, _st, _ot), (tmpl, *_r) in zip(
+            derive.extraction_patterns(), derive.vocab.RELATION_TEMPLATES):
         p = sql_quote(pattern)
+        mid = derive._parts(tmpl)[1]
+        gate = f"instr(t2, {sql_quote(mid)}) > 0"
         structs.append(
-            f"named_struct('subj', regexp_extract(t2, {p}, 1), "
-            f"'pred', {sql_quote(pred)}, 'obj', regexp_extract(t2, {p}, 2))"
+            f"named_struct('subj', CASE WHEN {gate} THEN regexp_extract(t2, {p}, 1) ELSE '' END, "
+            f"'pred', {sql_quote(pred)}, "
+            f"'obj', CASE WHEN {gate} THEN regexp_extract(t2, {p}, 2) ELSE '' END)"
         )
     arr = "array(" + ", ".join(structs) + ")"
     return spark.sql(
@@ -128,18 +153,29 @@ def _kg_mentions_sql(d: Dialect) -> str:
 
 
 def _kg_mentions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single extraction scan + broadcast pred→(subj/obj type) map."""
+    """Single extraction scan + broadcast pred→(subj/obj type) map.
+
+    r6: the subj/obj arms previously went through ``unionByName``, which
+    duplicates the whole extraction subtree in the physical plan (Catalyst
+    does not CSE across union arms → 2× the regex work and 2 scans).  One
+    explode of a 2-struct array keeps a single extraction subtree; the
+    row multiset feeding distinct() is identical."""
     triples = _kg_triples_spark(spark, sf_dir)
     types = spark.createDataFrame(
         [(pred, st, ot) for _p, pred, st, ot in derive.extraction_patterns()],
         "pred string, stype string, otype string",
     )
     joined = triples.join(F.broadcast(types), "pred")
-    subj = joined.select("doc_id", F.col("subj").alias("entity_name"),
-                         F.col("stype").alias("entity_type"))
-    obj = joined.select("doc_id", F.col("obj").alias("entity_name"),
-                        F.col("otype").alias("entity_type"))
-    return subj.unionByName(obj).distinct()
+    both = joined.select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.col("subj").alias("entity_name"),
+                     F.col("stype").alias("entity_type")),
+            F.struct(F.col("obj").alias("entity_name"),
+                     F.col("otype").alias("entity_type")),
+        )).alias("m"),
+    ).select("doc_id", "m.entity_name", "m.entity_type")
+    return both.distinct()
 
 
 _df_query("kg_mentions", _kg_mentions_spark, None)
@@ -217,18 +253,31 @@ def _kg_entity_degree_sql(d: Dialect) -> str:
 
 
 def _kg_entity_degree_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 plan notes: the two direction arms previously used unionByName,
+    duplicating the aggregation + extraction subtree (2× regex + 2
+    shuffles); one conditional-array explode keeps a single subtree.
+    ``degree`` uses count(*) instead of count_distinct(partner): partners
+    are provably unique per entity here — e is keyed by (a, b) with
+    a <= b, the forward arm contributes partners >= entity, the reverse
+    arm (only a <> b) partners < entity, so no (entity, partner) row can
+    repeat — which drops the distinct-aggregate expand pass."""
     t = _kg_triples_spark(spark, sf_dir)
     e = (
         t.select(F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("w"))
     )
-    arms = e.select(F.col("a").alias("entity"), F.col("b").alias("partner"), "w").unionByName(
-        e.filter(F.col("a") != F.col("b")).select(
-            F.col("b").alias("entity"), F.col("a").alias("partner"), "w")
-    )
+    fwd = F.struct(F.col("a").alias("entity"), F.col("b").alias("partner"))
+    rev = F.struct(F.col("b").alias("entity"), F.col("a").alias("partner"))
+    arms = e.select(
+        F.explode(
+            F.when(F.col("a") != F.col("b"), F.array(fwd, rev))
+            .otherwise(F.array(fwd))
+        ).alias("x"),
+        "w",
+    ).select("x.entity", "x.partner", "w")
     return arms.groupBy("entity").agg(
-        F.count_distinct("partner").cast("long").alias("degree"),
+        F.count("*").cast("long").alias("degree"),
         F.sum("w").cast("double").alias("total_weight"),
     )
 
@@ -770,7 +819,7 @@ def _dedup_embedding_groups_spark(spark: SparkSession, sf_dir: str) -> DataFrame
     pattern): one embeddings scan for bucketing instead of two."""
     from .operators import linking
 
-    _register_views(spark, sf_dir)
+    _register_views(spark, sf_dir, only=["embeddings"])
     bk = spark.sql(_emb_buckets_sql(SPARK)).persist()
     bk.count()
     bk.createOrReplaceTempView("__emb_bk")
@@ -973,9 +1022,19 @@ def _kg_cooccurrence_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle only).  Per-doc sorted distinct mention set → native
     ordered-pair explode (no self-join: the per-doc set is tiny, and the
     pair space shuffles once on the pair key)."""
-    m = _kg_mentions_spark(spark, sf_dir)
-    per_doc = m.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("entity_name")).alias("ns")
+    # r6: build the per-doc name set straight from the triples (subj+obj
+    # arrays flattened + deduped) instead of going through the distinct-ed
+    # mentions frame — the name set per doc is identical (types play no
+    # role here) and this drops two shuffles (mentions distinct + its
+    # explode) from the plan: triples → groupBy(doc_id) → pair explode →
+    # groupBy(pair).  n_docs uses count(*) instead of count_distinct:
+    # each doc contributes each ordered pair at most once by construction
+    # (pairs come from a per-doc deduplicated sorted set), so the counts
+    # are equal and the distinct-aggregate expand pass disappears.
+    t = _kg_triples_spark(spark, sf_dir)
+    per_doc = t.groupBy("doc_id").agg(
+        F.sort_array(F.array_distinct(F.flatten(
+            F.collect_list(F.array("subj", "obj"))))).alias("ns")
     )
     pairs = per_doc.select(
         "doc_id",
@@ -989,7 +1048,7 @@ def _kg_cooccurrence_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy(
         F.col("p.ent_a").alias("ent_a"), F.col("p.ent_b").alias("ent_b")
-    ).agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    ).agg(F.count("*").cast("long").alias("n_docs"))
 
 
 _df_query("kg_cooccurrence", _kg_cooccurrence_spark, _kg_cooccurrence_sql(DUCK))
@@ -1148,7 +1207,7 @@ def _tag_file_name_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a synthesized file_path column."""
     from .operators import taggers
 
-    _register_views(spark, sf_dir)
+    _register_views(spark, sf_dir, only=["documents"])
     docs = spark.sql(
         f"SELECT doc_id, {_file_path_expr(SPARK)} AS file_path FROM documents"
     )

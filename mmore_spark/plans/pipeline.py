@@ -41,12 +41,26 @@ def build_graph(documents: DataFrame, extractor=None
     here we keep it lazy for composability.
     """
     rendered = documents.select("doc_id", render_text("spans").alias("text"))
-    mentions, triples = extract.extract_mentions_triples(rendered, "text", extractor)
-    # The linking stage drives several actions (name counts, LSH edges, the
-    # CC fixpoint loop); without persistence every one of them would re-run
-    # the Arrow extraction stage from the source scan.
-    mentions = mentions.persist()
-    triples = triples.persist()
+    # Persist the COMBINED extraction output (one row per doc) rather than
+    # the two exploded frames: persisting mentions and triples separately
+    # ran the Arrow extraction stage twice — once when the linking stage's
+    # first action materialized mentions, and again when the triple
+    # consumer materialized triples (r6, guide §2.4: the explodes are
+    # narrow and recompute cheaply from the cached combined frame).
+    combined = extract.extract_combined(rendered, "text", extractor).persist()
+    mentions = combined.select("doc_id", F.explode("entities").alias("e")).select(
+        "doc_id",
+        F.col("e.entity_name").alias("entity_name"),
+        F.col("e.entity_type").alias("entity_type"),
+        F.col("e.descriptions").alias("descriptions"),
+    )
+    triples = combined.select("doc_id", F.explode("triples").alias("t")).select(
+        "doc_id",
+        F.col("t.subj").alias("subj"),
+        F.col("t.obj").alias("obj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.weight").alias("weight"),
+    )
     canonical_map = linking.canonicalize(mentions).persist()
     canonical_triples = linking.rewrite_triples(triples, canonical_map)
     entities = linking.entities_table(canonical_map)

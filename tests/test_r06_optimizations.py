@@ -1,0 +1,88 @@
+"""Round-6 optimization parity tests.
+
+Every optimization this round must leave query results identical; these
+tests pin the two changes that replaced an implementation rather than a
+plan shape:
+
+  * ``rule_extract`` (literal-scan finditer emulation) must be
+    byte-identical to the combined-regex baseline ``rule_extract_re``;
+  * ``linking.canonicalize`` driver path (count-gated LSH+ER+CC+election
+    in driver Python) must equal the Spark path row-for-row.
+"""
+
+from __future__ import annotations
+
+import random
+
+from mmore_spark.corpus import vocab
+from mmore_spark.operators import extract
+
+
+def _aliases() -> list[str]:
+    return [a for clusters in vocab.ALIAS_CLUSTERS.values()
+            for cluster in clusters for a in cluster]
+
+
+def _mids() -> list[str]:
+    return [t[0].split("{s}")[1].split("{o}")[0] for t in vocab.RELATION_TEMPLATES]
+
+
+def test_rule_extract_matches_re_baseline_on_planted_corpus():
+    from mmore_spark.corpus.generator import generate_local
+
+    n_nonempty = 0
+    for doc in generate_local(200, seed=7):
+        text = " ".join(s["text"] for s in doc.spans if s.get("text"))
+        out = extract.rule_extract(text)
+        assert out == extract.rule_extract_re(text)
+        n_nonempty += bool(out)
+    assert n_nonempty > 100  # most docs carry planted relations
+
+
+def test_rule_extract_matches_re_baseline_adversarial():
+    """Overlapping aliases, adjacent sentences, truncated aliases, multiple
+    relation sentences per doc, mids without aliases — the cases where the
+    finditer emulation (ordered alternation, non-overlapping scan) could
+    diverge if it were wrong."""
+    rng = random.Random(13)
+    aliases, mids = _aliases(), _mids()
+    for _ in range(1500):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            r = rng.random()
+            if r < 0.35:
+                tmpl = rng.choice(vocab.RELATION_TEMPLATES)[0]
+                parts.append(tmpl.format(s=rng.choice(aliases), o=rng.choice(aliases)))
+            elif r < 0.6:
+                parts.append(rng.choice(aliases) + rng.choice(mids) + rng.choice(aliases))
+            elif r < 0.8:
+                a = rng.choice(aliases)
+                parts.append(a[:rng.randint(1, len(a))] + rng.choice(mids).strip()
+                             + rng.choice(aliases))
+            else:
+                parts.append(rng.choice(vocab.FILLER_SENTENCES))
+        text = rng.choice(["", " ", "x"]).join(parts)
+        assert extract.rule_extract(text) == extract.rule_extract_re(text), text
+
+
+def test_rule_extract_empty_and_no_match():
+    assert extract.rule_extract("") == extract.rule_extract_re("") == ""
+    assert extract.rule_extract("no entities here") == ""
+
+
+def test_canonicalize_driver_equals_spark_path(spark, small_docs_df):
+    import pandas as pd
+
+    from mmore_spark.functions.spans import render_text
+    from mmore_spark.operators import linking
+
+    rendered = small_docs_df.select("doc_id", render_text("spans").alias("text"))
+    mentions, _ = extract.extract_mentions_triples(rendered, "text")
+    mentions = mentions.cache()
+    driver = linking.canonicalize(mentions).toPandas()
+    spark_side = linking.canonicalize(mentions, driver_max_names=0).toPandas()
+    key = ["name"]
+    a = driver.sort_values(key).reset_index(drop=True)
+    b = spark_side.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
