@@ -1036,13 +1036,20 @@ def _kg_cooccurrence_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.array_distinct(F.flatten(
             F.collect_list(F.array("subj", "obj"))))).alias("ns")
     )
-    pairs = per_doc.select(
+    # Two-stage explode (VERDICT r05 nit #3): the old single nested
+    # transform built ALL k(k-1)/2 pair structs of a doc inside ONE array
+    # cell — O(k²) memory in a single row, unbounded for a mega-doc with
+    # 10⁴ distinct mentions.  Exploding the left element first and slicing
+    # per row keeps every materialized array O(k) while the pair multiset
+    # (and therefore the aggregate) is identical; the rows stream through
+    # the pipelined generates instead of ballooning one buffer.
+    lhs = per_doc.select("doc_id", "ns", F.posexplode("ns").alias("__ci", "__cx"))
+    pairs = lhs.select(
         "doc_id",
         F.explode(
             F.expr(
-                "flatten(transform(ns, (__cx, __ci) -> "
                 "transform(slice(ns, __ci + 2, size(ns)), __cy -> "
-                "struct(__cx AS ent_a, __cy AS ent_b))))"
+                "struct(__cx AS ent_a, __cy AS ent_b))"
             )
         ).alias("p"),
     )

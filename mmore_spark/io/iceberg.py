@@ -122,6 +122,29 @@ def incremental_read_sql(table: str, from_snapshot: int, to_snapshot: int,
     )
 
 
+def _fallback_path(spark, table: str, catalog: str = DEFAULT_CATALOG) -> str:
+    """Warehouse dir for the no-jar parquet fallback.
+
+    Previously a fixed world-shared /tmp/mmore_iceberg_fallback/{table}:
+    unrelated runs (or other users on a shared host) with the same logical
+    table name merged into each other's leftover state (ADVICE r05 low).
+    Resolution order: the catalog's configured warehouse (the same conf
+    session_conf sets for the real runtime), else a per-application tmp
+    dir keyed by the Spark applicationId — unique per run, stable within
+    one session so repeated upserts still accumulate."""
+    import os
+    import tempfile
+
+    wh = spark.conf.get(f"spark.sql.catalog.{catalog}.warehouse", None)
+    if wh:
+        root = os.path.join(wh.removeprefix("file:"), "_parquet_fallback")
+    else:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"mmore_iceberg_fallback_{spark.sparkContext.applicationId}")
+    return os.path.join(root, table)
+
+
 def upsert_table(spark, table: str, updates: DataFrame, key: str = "doc_id",
                  version_col: str | None = None,
                  catalog: str = DEFAULT_CATALOG) -> dict:
@@ -141,7 +164,7 @@ def upsert_table(spark, table: str, updates: DataFrame, key: str = "doc_id",
     from . import tables
 
     return tables.upsert_table(
-        spark, f"/tmp/mmore_iceberg_fallback/{table}", updates,
+        spark, _fallback_path(spark, table, catalog), updates,
         key=key, version_col=version_col)
 
 
@@ -162,5 +185,5 @@ def write_table(df: DataFrame, table: str,
                 "rows": spark.table(f"{catalog}.{table}").count()}
     from . import tables
 
-    return tables.write_table(df, f"/tmp/mmore_iceberg_fallback/{table}",
+    return tables.write_table(df, _fallback_path(spark, table, catalog),
                               stage=table, partition_by=None)

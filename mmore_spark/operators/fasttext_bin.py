@@ -95,16 +95,32 @@ class FastTextModel:
                 rows.extend(self._subwords(w))
             word_hashes.append(self._hash(w.encode("utf-8")))
         if a["wordNgrams"] > 1:
-            for i in range(len(word_hashes)):
-                h = word_hashes[i]
-                for j in range(i + 1, min(i + a["wordNgrams"],
-                                          len(word_hashes))):
-                    h = (h * 116049371 + word_hashes[j]) & 0xFFFFFFFFFFFFFFFF
+            # fasttext stores the FNV hashes in a vector<int32_t>;
+            # addWordNgrams then does ``uint64_t h = hashes[i]`` — an
+            # int32→uint64 conversion that SIGN-EXTENDS hashes >= 2^31
+            # (about half of all tokens).  Mirror that exactly: interpret
+            # each 32-bit hash as signed before the mod-2^64 combine
+            # (ADVICE r05 medium).
+            se = [h - (1 << 32) if h >= (1 << 31) else h for h in word_hashes]
+            for i in range(len(se)):
+                h = se[i] & 0xFFFFFFFFFFFFFFFF
+                for j in range(i + 1, min(i + a["wordNgrams"], len(se))):
+                    h = (h * 116049371 + se[j]) & 0xFFFFFFFFFFFFFFFF
                     rows.append(len(self.word_ids) + h % a["bucket"])
         return rows
 
+    # fasttext args.h loss_name enum
+    LOSS_HS, LOSS_NS, LOSS_SOFTMAX, LOSS_OVA = 1, 2, 3, 4
+
     def predict(self, text: str) -> tuple[str, float]:
-        """(best label, softmax probability) for one document."""
+        """(best label, score) for one document.
+
+        loss=softmax: calibrated softmax probability (the library's
+        supervised default).  loss=ns/ova: the library scores labels with
+        a per-label sigmoid (BinaryLogisticLoss::computeOutput) — same
+        ranking as the raw logits, but the score is NOT a calibrated
+        probability.  loss=hs is rejected at load time (the output rows
+        are Huffman-tree internal nodes, not label vectors)."""
         import numpy as np
 
         tokens = text.split() + ["</s>"]
@@ -113,6 +129,9 @@ class FastTextModel:
             return self.labels[0], 1.0 / max(1, len(self.labels))
         vec = self.input[rows].mean(axis=0)
         logits = self.output @ vec
+        if self.args["loss"] in (self.LOSS_NS, self.LOSS_OVA):
+            k = int(logits.argmax())
+            return self.labels[k], float(1.0 / (1.0 + np.exp(-logits[k])))
         logits -= logits.max()
         probs = np.exp(logits)
         probs /= probs.sum()
@@ -131,6 +150,11 @@ def load_fasttext_model(path: str) -> FastTextModel:
                         struct.unpack("<" + "i" * len(_ARGS_INT),
                                       f.read(4 * len(_ARGS_INT)))))
         args["t"] = struct.unpack("<d", f.read(8))[0]
+        if args["loss"] == FastTextModel.LOSS_HS:
+            raise NotImplementedError(
+                "loss=hs fasttext models unsupported — the output matrix "
+                "holds hierarchical-softmax tree internal-node vectors, "
+                "not label vectors; prediction needs the tree traversal")
         size, nwords, nlabels = struct.unpack("<iii", f.read(12))
         _ntokens, pruneidx_size = struct.unpack("<qq", f.read(16))
         words, labels = [], []

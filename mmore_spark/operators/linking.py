@@ -512,32 +512,31 @@ def canonicalize(mentions: DataFrame, n_perm: int = N_PERMUTATIONS,
     """
     from pyspark.sql import Window
 
-    counts = (
-        mentions.groupBy(F.col("entity_name").alias("name"))
-        .agg(
-            F.count("*").alias("n_mentions"),
-            # deterministic election: longest type wins, ties broken
-            # lexicographically (a bare max_by ties arbitrarily, which would
-            # break value-level oracle comparison)
-            F.max_by(
-                "entity_type",
-                F.struct(
-                    F.length(F.coalesce("entity_type", F.lit(""))).alias("l"),
-                    F.coalesce("entity_type", F.lit("")).alias("t"),
-                ),
-            ).alias("entity_type"),
-        )
-        # dimension-sized (distinct names); cut lineage so the LSH self-join
-        # and the CC loop don't re-aggregate the full mention set repeatedly
-        .localCheckpoint()
+    counts_lazy = mentions.groupBy(F.col("entity_name").alias("name")).agg(
+        F.count("*").alias("n_mentions"),
+        # deterministic election: longest type wins, ties broken
+        # lexicographically (a bare max_by ties arbitrarily, which would
+        # break value-level oracle comparison)
+        F.max_by(
+            "entity_type",
+            F.struct(
+                F.length(F.coalesce("entity_type", F.lit(""))).alias("l"),
+                F.coalesce("entity_type", F.lit("")).alias("t"),
+            ),
+        ).alias("entity_type"),
     )
-    # count() on the checkpointed frame is a ~free job; below the cap the
-    # whole linking stage runs on the driver (see _canonicalize_driver)
-    if counts.count() <= driver_max_names:
+    # ONE early-terminating probe job decides the strategy AND, below the
+    # cap, already holds every row the driver path needs — replacing the
+    # former localCheckpoint + count + collect sequence (3 jobs) on the
+    # common dimension-scale path (guard-ok: bounded by the limit)
+    probe = counts_lazy.limit(driver_max_names + 1).collect()
+    if len(probe) <= driver_max_names:
         if metrics is not None:
             metrics["strategy"] = "driver"
-        # guard-ok: dimension-scale collect, gated by the count
-        return _canonicalize_driver(mentions.sparkSession, counts.collect(), n_perm)
+        return _canonicalize_driver(mentions.sparkSession, probe, n_perm)
+    # dimension-sized (distinct names); cut lineage so the LSH self-join
+    # and the CC loop don't re-aggregate the full mention set repeatedly
+    counts = counts_lazy.localCheckpoint()
     edges = match_edges(counts.select("name"), n_perm)
     comps = connected_components(counts.select("name"), edges, metrics=metrics)
     labeled = counts.join(comps, "name")

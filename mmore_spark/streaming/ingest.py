@@ -241,11 +241,17 @@ def _fold_files(spark: SparkSession, files: list, dest_dir: str,
     df = spark.read.parquet(*files)
     if partitioned:
         # partitionBy strips the bucket column from the data files, so
-        # partition-discovery reads of history/ see it exactly once
-        if "bucket" not in df.columns:
-            df = df.select("doc_id").withColumn("bucket",
-                                                _seen_bucket(nbuckets))
-        (df.select("doc_id", "bucket").distinct()
+        # partition-discovery reads of history/ see it exactly once.
+        # ALWAYS recompute bucket from doc_id: a mixed fold of legacy flat
+        # files (doc_id only) and recent files (doc_id, bucket) without
+        # mergeSchema gives legacy rows a NULL bucket when the inferred
+        # schema includes it — they would land in
+        # __HIVE_DEFAULT_PARTITION__ and be invisible to the pruned
+        # anti-join, silently re-emitting previously-ingested ids
+        # (ADVICE r05 high).  The bucket is a pure function of doc_id, so
+        # recomputing always equals any stored value.
+        (df.select("doc_id").withColumn("bucket", _seen_bucket(nbuckets))
+         .distinct()
          .repartition("bucket").write.partitionBy("bucket").parquet(tmp))
     else:
         # inside a bucket=k dir the physical schema stays doc_id-only

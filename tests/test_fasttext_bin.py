@@ -13,13 +13,15 @@ from mmore_spark.operators import fasttext_bin as FB
 
 
 def _write_model(path, words, labels, input_rows, output_rows, dim,
-                 bucket=0, minn=0, maxn=0, word_ngrams=1, quant=0):
+                 bucket=0, minn=0, maxn=0, word_ngrams=1, quant=0, loss=3):
     """Serialize fasttext's saveModel layout (magic, args, dict, quant
-    flag + input matrix, qout flag + output matrix)."""
+    flag + input matrix, qout flag + output matrix).  loss defaults to 3
+    (softmax, the supervised default) — loss=1 (hs) is rejected by the
+    loader because its output rows are tree nodes, not labels."""
     with open(path, "wb") as f:
         f.write(struct.pack("<ii", FB.FT_MAGIC, 12))
         args = dict(dim=dim, ws=5, epoch=5, minCount=1, neg=5,
-                    wordNgrams=word_ngrams, loss=1, model=3, bucket=bucket,
+                    wordNgrams=word_ngrams, loss=loss, model=3, bucket=bucket,
                     minn=minn, maxn=maxn, lrUpdateRate=100)
         f.write(struct.pack("<" + "i" * 12, *[args[k] for k in FB._ARGS_INT]))
         f.write(struct.pack("<d", 1e-4))
@@ -107,9 +109,76 @@ def test_subword_and_wordngram_rows(tmp_path):
 
     rows = m._line_rows(["ab", "ab"])
     h_ab = fnv1a(b"ab")
-    bigram = 2 + ((h_ab * 116049371 + h_ab) & 0xFFFFFFFFFFFFFFFF) % bucket
+    # fasttext sign-extends the int32-stored hash into uint64 before the
+    # rolling combine (dictionary.cc addWordNgrams)
+    se = h_ab - (1 << 32) if h_ab >= (1 << 31) else h_ab
+    bigram = 2 + (((se & 0xFFFFFFFFFFFFFFFF) * 116049371 + se)
+                  & 0xFFFFFFFFFFFFFFFF) % bucket
     assert rows.count(1) == 2          # the word id, twice
     assert bigram in rows              # the word-bigram bucket
+
+
+def test_wordngram_hash_sign_extension(tmp_path):
+    """A token whose FNV-1a hash has the top bit set must combine as a
+    NEGATIVE int32 (sign-extended), exactly as the library's
+    ``uint64_t h = hashes[i]`` conversion does — unsigned math produces a
+    different bucket row for ~half of all tokens (ADVICE r05)."""
+    def fnv1a(data: bytes) -> int:
+        h = 0x811C9DC5
+        for b in data:
+            h = ((h ^ b) * 0x01000193) & 0xFFFFFFFF
+        return h
+
+    # find a short token with the sign bit set
+    tok = next(t for t in ("a", "b", "c", "d", "e", "f", "g", "x", "y", "z")
+               if fnv1a(t.encode()) >= (1 << 31))
+    p = str(tmp_path / "se.bin")
+    words = ["</s>", tok]
+    # fasttext's real default bucket count — deliberately NOT a power of
+    # two: with a 2^k bucket the signed/unsigned conventions coincide
+    # (their difference is a multiple of 2^32)
+    bucket = 2_000_000
+    nrows = len(words) + bucket
+    import numpy as np  # noqa: F401
+    _write_model(p, words, ["__label__x"], [[0.0]] * nrows, [[1.0]],
+                 dim=1, bucket=bucket, word_ngrams=2)
+    m = FB.load_fasttext_model(p)
+    rows = m._line_rows([tok, tok])
+    h = fnv1a(tok.encode())
+    se = h - (1 << 32)
+    expect = 2 + (((se & 0xFFFFFFFFFFFFFFFF) * 116049371 + se)
+                  & 0xFFFFFFFFFFFFFFFF) % bucket
+    wrong_unsigned = 2 + ((h * 116049371 + h) & 0xFFFFFFFFFFFFFFFF) % bucket
+    assert expect in rows
+    assert expect != wrong_unsigned  # the two conventions really differ
+    assert wrong_unsigned not in rows
+
+
+def test_hs_loss_model_rejected(tmp_path):
+    p = str(tmp_path / "hs.bin")
+    _write_model(p, ["</s>"], ["__label__x"], [[0.0]], [[0.0]], dim=1,
+                 loss=1)
+    with pytest.raises(NotImplementedError, match="hs"):
+        FB.load_fasttext_model(p)
+
+
+def test_ns_ova_losses_score_with_sigmoid(tmp_path):
+    """ns/ova models rank by the same logits but the score is the
+    label's sigmoid, not a softmax probability."""
+    import math
+
+    for loss in (2, 4):
+        p = str(tmp_path / f"l{loss}.bin")
+        words = ["</s>", "good"]
+        inp = [[0.0, 0.0], [1.0, 0.0]]
+        out = [[3.0, 0.0], [-1.0, 0.0]]
+        _write_model(p, words, ["__label__pos", "__label__neg"], inp, out,
+                     dim=2, loss=loss)
+        m = FB.load_fasttext_model(p)
+        lab, score = m.predict("good")
+        assert lab == "__label__pos"
+        # sentence vector = mean([good, </s>]) = (0.5, 0); logit = 1.5
+        assert abs(score - 1.0 / (1.0 + math.exp(-1.5))) < 1e-6
 
 
 def test_quantized_model_raises(tmp_path):

@@ -434,3 +434,58 @@ def test_crashed_fold_remnant_does_not_poison_history_reads(spark, tmp_path):
     got = _read_seen(spark, seen, buckets=list(range(64)))
     vals = {r["doc_id"] for r in got.collect()}
     assert vals == {f"d{i}" for i in range(50)}  # remnant invisible
+
+
+def test_mixed_legacy_and_recent_fold_keeps_every_id(spark, tmp_path):
+    """ADVICE r05 high: folding legacy FLAT seen files (doc_id only) mixed
+    with recent (doc_id, bucket) files must not send legacy rows to a null
+    bucket (__HIVE_DEFAULT_PARTITION__), where the pruned anti-join would
+    never see them — the old-checkpoint upgrade path must stay
+    exactly-once.  The fold now recomputes bucket from doc_id
+    unconditionally."""
+    from mmore_spark.streaming.ingest import (
+        SEEN_BUCKETS, _fold_files, _read_seen, _seen_bucket)
+    from pyspark.sql import functions as F
+
+    seen = str(tmp_path / "o" / "_seen_ids")
+    os.makedirs(seen)
+    # legacy layout: flat doc_id-only parquet files directly under seen/
+    legacy_ids = [f"legacy-{i}" for i in range(30)]
+    spark.createDataFrame([(d,) for d in legacy_ids], "doc_id string") \
+        .coalesce(1).write.parquet(os.path.join(seen, "_legacy_tmp"))
+    import shutil
+    n = 0
+    for f in os.listdir(os.path.join(seen, "_legacy_tmp")):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(seen, "_legacy_tmp", f),
+                        os.path.join(seen, f"legacy-{n}.parquet"))
+            n += 1
+    shutil.rmtree(os.path.join(seen, "_legacy_tmp"))
+    # recent layout: (doc_id, bucket) files under seen/recent/
+    recent_ids = [f"recent-{i}" for i in range(30)]
+    (spark.createDataFrame([(d,) for d in recent_ids], "doc_id string")
+     .withColumn("bucket", _seen_bucket(SEEN_BUCKETS))
+     .coalesce(1).write.mode("append")
+     .parquet(os.path.join(seen, "recent")))
+    recent_files = [os.path.join(seen, "recent", f)
+                    for f in os.listdir(os.path.join(seen, "recent"))
+                    if f.endswith(".parquet")]
+    legacy_files = [os.path.join(seen, f) for f in os.listdir(seen)
+                    if f.endswith(".parquet")]
+    hist = os.path.join(seen, "history")
+    assert _fold_files(spark, recent_files + legacy_files, hist,
+                       partitioned=True, nbuckets=SEEN_BUCKETS)
+    # no null-bucket partition may exist
+    assert not any("HIVE_DEFAULT_PARTITION" in d for d in os.listdir(hist))
+    # a fully-pruned read over all real buckets still sees every id
+    got = _read_seen(spark, seen, buckets=list(range(SEEN_BUCKETS)))
+    vals = {r["doc_id"] for r in got.collect()}
+    assert vals == set(legacy_ids) | set(recent_ids)
+    # and the pruned read restricted to the buckets the ids hash into
+    # (the production anti-join shape) also sees them all
+    all_ids = spark.createDataFrame(
+        [(d,) for d in legacy_ids + recent_ids], "doc_id string")
+    touched = [r["b"] for r in all_ids.select(
+        _seen_bucket(SEEN_BUCKETS).alias("b")).distinct().collect()]
+    got2 = _read_seen(spark, seen, buckets=touched)
+    assert {r["doc_id"] for r in got2.collect()} >= set(legacy_ids)
