@@ -40,7 +40,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        import os
+
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are directories of part files (e.g. the
+        # generated sf1.0); the driver's testdata are single files
+        src = f"{p}/*.parquet" if os.path.isdir(os.path.realpath(p)) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     failures = 0
     for name, fn in QUERIES.items():
