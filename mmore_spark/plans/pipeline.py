@@ -47,7 +47,15 @@ def build_graph(documents: DataFrame, extractor=None
     # first action materialized mentions, and again when the triple
     # consumer materialized triples (r6, guide §2.4: the explodes are
     # narrow and recompute cheaply from the cached combined frame).
-    combined = extract.extract_combined(rendered, "text", extractor).persist()
+    # DISK_ONLY, not the default MEMORY_AND_DISK: building the on-heap
+    # columnar cache for 4M nested rows at local[8] blew the 8 GB heap
+    # (measured: persist()+count OOMed where persist(DISK_ONLY)+count ran
+    # in the same 167 s as the uncached pass — the blocks stream to local
+    # disk, re-reads ride the OS page cache at ~2 s, guide §5).
+    from pyspark import StorageLevel
+
+    combined = extract.extract_combined(rendered, "text", extractor) \
+        .persist(StorageLevel.DISK_ONLY)
     mentions = combined.select("doc_id", F.explode("entities").alias("e")).select(
         "doc_id",
         F.col("e.entity_name").alias("entity_name"),

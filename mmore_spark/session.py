@@ -29,7 +29,22 @@ _BASE_CONF = {
     # Broadcast joins for dimension-sized sides (canonical-entity maps at
     # small SF; at production scale AQE converts eligible joins anyway).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Local mode runs ALL executor threads in one JVM — at local[32] an 8g
+    # heap is 256 MB per concurrent task, and the r6 engine drives the JVM
+    # side hard enough (scan vectors + Arrow batches per task) that 4M-doc
+    # runs hit GCLocker/heap-OOM thrash at 32 threads.  16g on a 128 GiB
+    # box is still conservative; on a real cluster per-executor memory is
+    # sized separately and this setting is inert (guide §5).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # At local[32] the heap-OOMs observed on 4M-doc runs are GCLocker
+    # starvation, not exhaustion: 32 task threads live inside JNI critical
+    # regions (parquet decompression, Arrow streams from the Python
+    # workers) often enough that an allocation exhausts the JDK's default
+    # 2 GCLocker retries and throws OOM with plenty of free heap
+    # ("Retried waiting for GCLocker too often" in the GC log).  Raising
+    # the retry budget is the documented mitigation; inert elsewhere.
+    "spark.driver.extraJavaOptions":
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.sql.session.timeZone": "UTC",
