@@ -133,11 +133,18 @@ def _fallback_path(spark, table: str, catalog: str = DEFAULT_CATALOG) -> str:
     dir keyed by the Spark applicationId — unique per run, stable within
     one session so repeated upserts still accumulate."""
     import os
+    import re
     import tempfile
 
     wh = spark.conf.get(f"spark.sql.catalog.{catalog}.warehouse", None)
-    if wh:
-        root = os.path.join(wh.removeprefix("file:"), "_parquet_fallback")
+    # Only adopt the configured warehouse when it is a LOCAL path — the
+    # parquet fallback runs os/shutil rename machinery that cannot touch
+    # s3://... (and a scheme-full string would be treated as a relative
+    # local dir).  Remote warehouses get the per-application tmp dir.
+    if wh and re.match(r"^file:/", wh):
+        wh = "/" + wh.split(":", 1)[1].lstrip("/")
+    if wh and not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", wh):
+        root = os.path.join(wh, "_parquet_fallback")
     else:
         root = os.path.join(
             tempfile.gettempdir(),

@@ -431,24 +431,31 @@ def _connected_components_twophase(nodes: DataFrame, edges: DataFrame,
 # exception); the Spark path remains the >cap production path and pytest
 # asserts both produce identical maps.
 DRIVER_LINK_MAX_NAMES = 20_000
+# Bail out of the driver path when candidate-pair volume explodes (dense
+# same-token name families near the name cap can approach n²/2 pairs —
+# fine distributed, not single-threaded); the caller falls through to the
+# Spark path, so the gate bounds work, never results.
+DRIVER_LINK_MAX_PAIRS = 5_000_000
 
 
 def _canonicalize_driver(spark, rows, n_perm: int = N_PERMUTATIONS,
-                         max_bucket: int = MAX_NAME_BUCKET) -> DataFrame:
+                         max_bucket: int = MAX_NAME_BUCKET,
+                         max_pairs: int = DRIVER_LINK_MAX_PAIRS
+                         ) -> "DataFrame | None":
     """Driver twin of the Spark linking path over collected
     (name, n_mentions, entity_type) rows — semantics mirrored exactly:
     candidate_pairs' (perm, min-hash) bucketing with the star cap,
     names_match_py verification, union-find CC with min-h60 component
-    labels, and the most-mentioned-then-lex-min election."""
-    import re as _re
-
+    labels, and the most-mentioned-then-lex-min election.  Returns None
+    (caller → Spark path) if the candidate-pair set exceeds
+    ``max_pairs``."""
     from ..hashing import h60_py
 
     stats = {r["name"]: (r["n_mentions"], r["entity_type"]) for r in rows}
     names = list(stats)
     buckets: dict[tuple[int, int], list[str]] = {}
     for name in names:
-        toks = [t for t in _re.sub(r"[^A-Z0-9 ]", "", name.upper()).split(" ") if t]
+        toks = name_tokens_py(name)
         if not toks:
             continue
         for p in range(n_perm):
@@ -466,6 +473,8 @@ def _canonicalize_driver(spark, rows, n_perm: int = N_PERMUTATIONS,
             for x in members:
                 if x != m:
                     pairs.add((m, x))
+        if len(pairs) > max_pairs:
+            return None
     parent = {n: n for n in names}
 
     def find(x: str) -> str:
@@ -528,15 +537,25 @@ def canonicalize(mentions: DataFrame, n_perm: int = N_PERMUTATIONS,
     # ONE early-terminating probe job decides the strategy AND, below the
     # cap, already holds every row the driver path needs — replacing the
     # former localCheckpoint + count + collect sequence (3 jobs) on the
-    # common dimension-scale path (guard-ok: bounded by the limit)
-    probe = counts_lazy.limit(driver_max_names + 1).collect()
-    if len(probe) <= driver_max_names:
-        if metrics is not None:
-            metrics["strategy"] = "driver"
-        return _canonicalize_driver(mentions.sparkSession, probe, n_perm)
-    # dimension-sized (distinct names); cut lineage so the LSH self-join
-    # and the CC loop don't re-aggregate the full mention set repeatedly
-    counts = counts_lazy.localCheckpoint()
+    # common dimension-scale path (guard-ok: bounded by the limit).  The
+    # persist keeps the >cap path from aggregating the full mention set
+    # twice (probe partitions are cached; the rest compute once for the
+    # localCheckpoint below).
+    counts_lazy = counts_lazy.persist()
+    try:
+        probe = counts_lazy.limit(driver_max_names + 1).collect()
+        if len(probe) <= driver_max_names:
+            out = _canonicalize_driver(mentions.sparkSession, probe, n_perm)
+            if out is not None:
+                if metrics is not None:
+                    metrics["strategy"] = "driver"
+                return out
+        # dimension-sized (distinct names); cut lineage so the LSH
+        # self-join and the CC loop don't re-aggregate the full mention
+        # set repeatedly
+        counts = counts_lazy.localCheckpoint()
+    finally:
+        counts_lazy.unpersist()
     edges = match_edges(counts.select("name"), n_perm)
     comps = connected_components(counts.select("name"), edges, metrics=metrics)
     labeled = counts.join(comps, "name")

@@ -42,9 +42,12 @@ _BASE_CONF = {
     # workers) often enough that an allocation exhausts the JDK's default
     # 2 GCLocker retries and throws OOM with plenty of free heap
     # ("Retried waiting for GCLocker too often" in the GC log).  Raising
-    # the retry budget is the documented mitigation; inert elsewhere.
-    "spark.driver.extraJavaOptions":
-        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
+    # the retry budget is the documented mitigation.  Env-overridable:
+    # JDKs that drop the diagnostic flag (the GCLocker rework lands in
+    # newer releases) can set SPARK_GRAFT_JAVA_OPTS="" to omit it.
+    "spark.driver.extraJavaOptions": os.environ.get(
+        "SPARK_GRAFT_JAVA_OPTS",
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100"),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.sql.session.timeZone": "UTC",

@@ -86,3 +86,49 @@ def test_canonicalize_driver_equals_spark_path(spark, small_docs_df):
     b = spark_side.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_canonicalize_driver_pair_cap_falls_back_to_spark_path(spark, small_docs_df):
+    """When the driver path would enumerate more candidate pairs than its
+    budget it must bail (return None) and canonicalize must fall through
+    to the Spark path with identical results."""
+    import pandas as pd
+
+    from mmore_spark.functions.spans import render_text
+    from mmore_spark.operators import linking
+
+    rendered = small_docs_df.select("doc_id", render_text("spans").alias("text"))
+    mentions, _ = extract.extract_mentions_triples(rendered, "text")
+    mentions = mentions.cache()
+    counts = mentions.groupBy("entity_name").count().collect()
+    rows = [{"name": r["entity_name"], "n_mentions": r["count"],
+             "entity_type": ""} for r in counts]
+    assert linking._canonicalize_driver(spark, rows, max_pairs=0) is None
+    # and the full operator still produces the driver-path result when the
+    # cap is generous
+    normal = linking.canonicalize(mentions).toPandas()
+    assert len(normal) == len(rows)
+
+
+def test_iceberg_fallback_ignores_remote_warehouse(spark):
+    from mmore_spark.io import iceberg as I
+
+    # no warehouse conf -> per-application tmp dir
+    p = I._fallback_path(spark, "kg.t1")
+    assert spark.sparkContext.applicationId in p and p.endswith("kg.t1")
+    # remote warehouse must NOT be treated as a local path
+    key = f"spark.sql.catalog.{I.DEFAULT_CATALOG}.warehouse"
+    spark.conf.set(key, "s3://bucket/warehouse")
+    try:
+        p2 = I._fallback_path(spark, "kg.t2")
+        assert not p2.startswith("s3:")
+        assert spark.sparkContext.applicationId in p2
+        # local file: URI is adopted, scheme stripped
+        spark.conf.set(key, "file:///tmp/wh_x")
+        p3 = I._fallback_path(spark, "kg.t3")
+        assert p3 == "/tmp/wh_x/_parquet_fallback/kg.t3"
+        spark.conf.set(key, "/tmp/wh_y")
+        assert I._fallback_path(spark, "kg.t4") == \
+            "/tmp/wh_y/_parquet_fallback/kg.t4"
+    finally:
+        spark.conf.unset(key)

@@ -7,6 +7,7 @@ frame (order-insensitive).  Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -40,8 +41,6 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        import os
-
         p = f"{sf_dir}/{t}.parquet"
         # Spark-written tables are directories of part files (e.g. the
         # generated sf1.0); the driver's testdata are single files
