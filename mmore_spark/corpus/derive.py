@@ -89,25 +89,31 @@ def extraction_patterns() -> list[tuple[str, str, str, str]]:
 
 
 def template_dim(spark: SparkSession) -> DataFrame:
-    """12-row template dimension (broadcast side)."""
+    """12-row template dimension (broadcast side; Arrow local relation —
+    no PythonRDD stage in any consumer plan, functions/localrel.py)."""
+    from ..functions.localrel import local_df
+
     rows = []
     for k, (tmpl, stype, otype, pred, _w) in enumerate(vocab.RELATION_TEMPLATES):
         head, mid, tail = _parts(tmpl)
         rows.append((k, head, mid, tail, pred, stype, otype,
                      len(POOLS[stype]), len(POOLS[otype])))
-    return spark.createDataFrame(
-        rows, "k int, head string, mid string, tail string, pred string, "
-              "stype string, otype string, slen int, olen int")
+    return local_df(
+        spark, rows,
+        "k int, head string, mid string, tail string, pred string, "
+        "stype string, otype string, slen int, olen int")
 
 
 def pool_dim(spark: SparkSession) -> DataFrame:
-    """~300-row alias-pool dimension (broadcast side)."""
+    """~300-row alias-pool dimension (broadcast side; Arrow local relation)."""
+    from ..functions.localrel import local_df
+
     rows = [
         (etype, i, alias)
         for etype, pool in POOLS.items()
         for i, alias in enumerate(pool)
     ]
-    return spark.createDataFrame(rows, "etype string, idx int, alias string")
+    return local_df(spark, rows, "etype string, idx int, alias string")
 
 
 def augmented(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -161,7 +161,9 @@ def _kg_mentions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode of a 2-struct array keeps a single extraction subtree; the
     row multiset feeding distinct() is identical."""
     triples = _kg_triples_spark(spark, sf_dir)
-    types = spark.createDataFrame(
+    from .functions.localrel import local_df
+    types = local_df(
+        spark,
         [(pred, st, ot) for _p, pred, st, ot in derive.extraction_patterns()],
         "pred string, stype string, otype string",
     )

@@ -115,8 +115,9 @@ def load_langdetect_profiles(spark, paths: "list[str] | str") -> DataFrame:
         floor = math.log(1.0 / (n + vocab))
         for tri, c in tris.items():
             rows.append((lang, tri, math.log((c + 1) / (n + vocab)), floor))
-    return spark.createDataFrame(
-        rows, "lang string, tri string, logp double, floor_logp double"
+    from ..functions.localrel import local_df
+    return local_df(
+        spark, rows, "lang string, tri string, logp double, floor_logp double"
     ).localCheckpoint()
 
 

@@ -313,8 +313,8 @@ def _connected_components_driver(nodes: DataFrame, edge_rows: list) -> DataFrame
         h = h60_py(n)
         comp_min[root] = min(comp_min.get(root, h), h)
     labels = [(n, comp_min[find(n)]) for n in parent]
-    linked = spark.createDataFrame(labels, "name string, component long") \
-        if labels else spark.createDataFrame([], "name string, component long")
+    from ..functions.localrel import local_df
+    linked = local_df(spark, labels, "name string, component long")
     all_names = nodes.select("name").distinct()
     return (
         all_names.join(F.broadcast(linked), "name", "left")
@@ -500,8 +500,8 @@ def _canonicalize_driver(spark, rows, n_perm: int = N_PERMUTATIONS,
             out.append((n, comp, canonical, cid, stats[n][1], stats[n][0]))
     schema = ("name string, component long, canonical_name string, "
               "canonical_id long, entity_type string, n_mentions long")
-    return (spark.createDataFrame(out, schema) if out
-            else spark.createDataFrame([], schema))
+    from ..functions.localrel import local_df
+    return local_df(spark, out, schema)
 
 
 def canonicalize(mentions: DataFrame, n_perm: int = N_PERMUTATIONS,

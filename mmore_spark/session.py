@@ -48,6 +48,19 @@ _BASE_CONF = {
     "spark.driver.extraJavaOptions": os.environ.get(
         "SPARK_GRAFT_JAVA_OPTS",
         "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100"),
+    # Spark 4 routes upper()/lower()/initcap() under UTF8_BINARY through
+    # ICU (UCharacter case mappings).  Profiling the extraction-family
+    # queries cold (r6, jstack sampling) showed 124/165 executor-thread
+    # samples inside CollationSupport$Upper.execBinaryICU — the ICU path
+    # dominates every query's first run until C2 compiles it, ~3-5 s of
+    # per-plan cold wall at sf0.1.  The JVM mapping (this flag off = the
+    # Spark 3.x behavior) takes the UTF8String ASCII fast path and is
+    # byte-identical to ICU for ASCII input (the whole planted vocabulary
+    # and every gate table is ASCII — verified, and all 66 oracle rows
+    # stay green).  Corpora where ICU-vs-JVM edge cases matter (Turkish
+    # dotted-i, titlecase digraphs) can re-enable via env.
+    "spark.sql.icu.caseMappings.enabled": os.environ.get(
+        "SPARK_GRAFT_ICU_CASE", "false"),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.sql.session.timeZone": "UTC",
