@@ -49,12 +49,20 @@ def minhash_band_signatures(df: DataFrame, text_col: str = "text",
     n_bands = n_perm // r
 
     def sig_batches(batches):
-        import hashlib
+        from hashlib import md5
 
         import pandas as pd
 
-        def h60(s: str) -> int:
-            return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        # 60-bit md5 family, byte-identical to hashing.h60_py: the first 15
+        # hex digits of the digest ARE its first 8 bytes shifted right 4
+        # bits (pytest-pinned) — digest-slice arithmetic skips the hex
+        # string round-trip.  Shingle bytes are encoded ONCE and the per-
+        # permutation suffixes precomputed, instead of rebuilding and
+        # re-encoding `s + f"#mh{p}"` for every (shingle, permutation)
+        # pair (~40M f-string+encode calls per 50k docs — guide §4
+        # per-task work; was the dominant cost of both dedup bench rows).
+        sufs = [f"#mh{p}".encode("utf-8") for p in range(n_perm)]
+        fb = int.from_bytes
 
         for pdf in batches:
             out_doc, out_band, out_bh = [], [], []
@@ -63,18 +71,20 @@ def minhash_band_signatures(df: DataFrame, text_col: str = "text",
                 n = len(words)
                 upper = max(n - 2, 1)
                 shingles = [
-                    words[i] + " "
-                    + (words[i + 1] if i + 1 < n else "") + " "
-                    + (words[i + 2] if i + 2 < n else "")
+                    (words[i] + " "
+                     + (words[i + 1] if i + 1 < n else "") + " "
+                     + (words[i + 2] if i + 2 < n else "")).encode("utf-8")
                     for i in range(upper)
                 ]
                 mins = [
-                    min(h60(s + f"#mh{p}") for s in shingles) for p in range(n_perm)
+                    min(fb(md5(s + suf).digest()[:8], "big") >> 4 for s in shingles)
+                    for suf in sufs
                 ]
                 for b in range(n_bands):
                     out_doc.append(doc_id)
                     out_band.append(b)
-                    out_bh.append(h60(f"{mins[r * b]}:{mins[r * b + 1]}"))
+                    bh = f"{mins[r * b]}:{mins[r * b + 1]}".encode("utf-8")
+                    out_bh.append(fb(md5(bh).digest()[:8], "big") >> 4)
             yield pd.DataFrame({"doc_id": out_doc, "band": out_band, "bh": out_bh})
 
     schema = T.StructType([

@@ -132,3 +132,43 @@ def test_iceberg_fallback_ignores_remote_warehouse(spark):
             "/tmp/wh_y/_parquet_fallback/kg.t4"
     finally:
         spark.conf.unset(key)
+
+
+def test_minhash_digest_slice_equals_hex_h60():
+    """The dedup signature stage's digest-slice arithmetic
+    (int.from_bytes(md5(b).digest()[:8]) >> 4) must equal the oracle's
+    h60 definition (first 15 hex digits of the md5) for arbitrary bytes."""
+    from hashlib import md5
+
+    from mmore_spark.hashing import h60_py
+
+    rng = random.Random(13)
+    for _ in range(500):
+        s = "".join(chr(rng.randrange(32, 0x2FF)) for _ in range(rng.randrange(0, 40)))
+        for seed in ("", "#mh3", "#perm7"):
+            b = (s + seed).encode("utf-8")
+            assert int.from_bytes(md5(b).digest()[:8], "big") >> 4 == h60_py(s, seed)
+
+
+def test_minhash_signatures_unchanged(spark):
+    """Pin the optimized signature stage to the h60_py reference values."""
+    from mmore_spark.operators import dedup
+    from mmore_spark.hashing import h60_py
+
+    rows = [(1, "alpha beta gamma delta epsilon"), (2, "one"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["band"]): r["bh"]
+           for r in dedup.minhash_band_signatures(df).collect()}
+    for doc_id, text in rows:
+        words = (text or "").split(" ")
+        n = len(words)
+        shingles = [
+            words[i] + " " + (words[i + 1] if i + 1 < n else "") + " "
+            + (words[i + 2] if i + 2 < n else "")
+            for i in range(max(n - 2, 1))
+        ]
+        mins = [min(h60_py(s, f"#mh{p}") for s in shingles)
+                for p in range(dedup.N_PERMUTATIONS)]
+        for b in range(dedup.N_PERMUTATIONS // dedup.BAND_ROWS):
+            expect = h60_py(f"{mins[2 * b]}:{mins[2 * b + 1]}")
+            assert got[(doc_id, b)] == expect
