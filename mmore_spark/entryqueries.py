@@ -3066,3 +3066,28 @@ FROM ranked WHERE rk = 1
 
 
 _df_query("tag_langid_nb", _tag_langid_nb_spark, _tag_langid_nb_duck())
+
+
+# ===========================================================================
+# Driver-gate rotation (VERDICT r05, next-round item #1)
+# ===========================================================================
+# The driver's correctness gate runs the FIRST 50 registered rows
+# (CORRECTNESS_r05 keys == the registration-order prefix, verified).  16 of
+# the 66 rows had therefore never received a driver-green row — only local
+# check_oracle.py verification.  Rotate those 16 into the prefix and move 16
+# multiply-driver-green core rows (each ALSO re-exercised every round by the
+# frozen bench and the local sf0.001/sf0.01/sf0.1 sweeps) to the back.  Pure
+# re-ordering: same 66 names, same callables, same oracle SQL — bench.py and
+# the oracle fingerprints address queries by NAME and are unaffected.
+_ROTATE_BACK = [
+    "kg_span_render", "tag_word_count", "tag_hash", "tag_token_stats",
+    "tag_quality", "tag_lang_guess", "dedup_exact", "dedup_simhash",
+    "rel_incremental_anti", "rel_semi_filter", "rel_union_merge",
+    "rel_topk_fusion", "rel_sessions", "rel_rollup", "chunk_table_mode",
+    "chunk_multi_rows",
+]
+assert all(n in QUERIES for n in _ROTATE_BACK)
+QUERIES = {**{k: v for k, v in QUERIES.items() if k not in _ROTATE_BACK},
+           **{k: QUERIES[k] for k in _ROTATE_BACK}}
+# keep oracle_sql() in the same key order as queries() (texts untouched)
+ORACLE = {k: ORACLE[k] for k in QUERIES if k in ORACLE}
