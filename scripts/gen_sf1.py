@@ -85,7 +85,10 @@ def main() -> int:
         "cast(pmod(xxhash64(event_id, 19), 15000) as bigint) AS user_id",
         """element_at(array('click', 'view', 'purchase', 'signup', 'error'),
              cast(pmod(xxhash64(event_id, 23), 5) as int) + 1) AS event_type""",
-        "round(pmod(xxhash64(event_id, 29), 56021) / 100.0, 2) AS value",
+        # cast: round() on the integer-division expression otherwise yields
+        # DECIMAL(24,2) — the driver's events.value is DOUBLE, and the
+        # mismatch breaks oracle comparison dtypes at sf1.0
+        "cast(round(pmod(xxhash64(event_id, 29), 56021) / 100.0, 2) as double) AS value",
         """concat('{"k": ', cast(pmod(xxhash64(event_id, 31), 100) as string),
                   '}') AS props""",
     )
