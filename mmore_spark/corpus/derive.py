@@ -125,13 +125,15 @@ def augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The test parquet is a single small file → one input partition, which
     # would serialize all downstream regex/UDF work; spread it across the
-    # cluster first (cheap: the table is narrow here, and at 100 TB the
-    # scan is naturally multi-partition so this is a no-op-ish round robin).
-    base = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", "text", h60(F.col("doc_id").cast("string")).alias("h"))
-    )
+    # cluster first.  Scale-adaptive (r6, guide §2.4): a 100 TB corpus
+    # scans into thousands of partitions already, so the round-robin
+    # shuffle of every payload byte is applied ONLY when the scan is
+    # narrower than the session parallelism (functions/scanspread.py).
+    from ..functions.scanspread import spread_small_scan
+
+    base = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), cache_key=sf_dir
+    ).select("doc_id", "text", h60(F.col("doc_id").cast("string")).alias("h"))
     t = F.broadcast(template_dim(spark))
     p = pool_dim(spark)
     joined = (

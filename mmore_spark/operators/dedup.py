@@ -92,11 +92,18 @@ def minhash_band_signatures(df: DataFrame, text_col: str = "text",
         T.StructField("band", T.IntegerType()),
         T.StructField("bh", T.LongType()),
     ])
-    base = (
-        df.select("doc_id", F.col(text_col).alias(text_col))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .localCheckpoint()
-    )
+    # Scale-adaptive spread (r6, guide §2.4): single small test files
+    # collapse the Arrow stage into one task, so narrow scans are
+    # round-robined + checkpointed exactly as before; a production scan
+    # that is already wide flows straight into the Arrow stage — no
+    # shuffle of the corpus text and no local-disk materialization.
+    from ..functions.scanspread import estimated_scan_partitions
+
+    base = df.select("doc_id", F.col(text_col).alias(text_col))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    est = estimated_scan_partitions(base)
+    if est is None or est < parallelism:
+        base = base.repartition(parallelism).localCheckpoint()
     return base.mapInPandas(sig_batches, schema=schema)
 
 

@@ -172,3 +172,54 @@ def test_minhash_signatures_unchanged(spark):
         for b in range(dedup.N_PERMUTATIONS // dedup.BAND_ROWS):
             expect = h60_py(f"{mins[2 * b]}:{mins[2 * b + 1]}")
             assert got[(doc_id, b)] == expect
+
+
+def test_spread_small_scan_is_scale_adaptive(spark, tmp_path):
+    """guide §2.4: the corpus round-robin spread must fire for narrow
+    scans (the sandbox's single-file tables) and vanish for scans that
+    are already wide — with identical results either way."""
+    from mmore_spark.functions.scanspread import (
+        estimated_scan_partitions, spread_small_scan)
+
+    rows = [(i, f"word salad doc {i} alpha beta gamma") for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    single = str(tmp_path / "single.parquet")
+    multi = str(tmp_path / "multi.parquet")
+    df.coalesce(1).write.parquet(single)
+    df.repartition(16).write.parquet(multi)
+
+    narrow = spark.read.parquet(single)
+    wide = spark.read.parquet(multi)
+    assert estimated_scan_partitions(narrow) == 1
+    assert estimated_scan_partitions(wide) >= 8  # session parallelism
+    # in-memory frames have no files -> keep the historical spread
+    assert estimated_scan_partitions(df) is None
+
+    def plan(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    spread_n = spread_small_scan(narrow)
+    spread_w = spread_small_scan(wide)
+    assert "RoundRobinPartitioning" in plan(spread_n)
+    assert "RoundRobinPartitioning" not in plan(spread_w)
+    assert sorted(map(tuple, spread_n.collect())) == sorted(map(tuple, spread_w.collect()))
+
+
+def test_minhash_signatures_equal_on_wide_scan(spark, tmp_path):
+    """The dedup signature stage must produce identical signatures whether
+    the input is a narrow scan (repartition+checkpoint path) or an
+    already-wide scan (shuffle-free path)."""
+    from mmore_spark.operators import dedup
+
+    rows = [(i, f"alpha beta gamma doc {i} delta epsilon zeta") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    single = str(tmp_path / "s.parquet")
+    multi = str(tmp_path / "m.parquet")
+    df.coalesce(1).write.parquet(single)
+    df.repartition(16).write.parquet(multi)
+
+    a = sorted(map(tuple, dedup.minhash_band_signatures(
+        spark.read.parquet(single)).collect()))
+    b = sorted(map(tuple, dedup.minhash_band_signatures(
+        spark.read.parquet(multi)).collect()))
+    assert a == b and len(a) == 40 * (dedup.N_PERMUTATIONS // dedup.BAND_ROWS)
