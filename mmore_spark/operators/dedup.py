@@ -43,9 +43,11 @@ def minhash_band_signatures(df: DataFrame, text_col: str = "text",
     hashing.h60_py and the SQL oracle twin; ~10× faster than Catalyst's
     interpreted nested higher-order functions for this many tiny calls).
 
-    The input is re-spread and checkpointed first: small single-row-group
-    files otherwise collapse the Arrow stage into one task (Catalyst
-    pushes projections below exchanges — see entryqueries NOTE)."""
+    Narrow scans are re-spread and checkpointed first: small single-row-
+    group files otherwise collapse the Arrow stage into one task (Catalyst
+    pushes projections below exchanges — see entryqueries NOTE).  Scans
+    that are already session-parallel skip both the shuffle and the
+    checkpoint (functions/scanspread.py, r6 guide §2.4)."""
     n_bands = n_perm // r
 
     def sig_batches(batches):
@@ -97,13 +99,12 @@ def minhash_band_signatures(df: DataFrame, text_col: str = "text",
     # round-robined + checkpointed exactly as before; a production scan
     # that is already wide flows straight into the Arrow stage — no
     # shuffle of the corpus text and no local-disk materialization.
-    from ..functions.scanspread import estimated_scan_partitions
+    from ..functions.scanspread import needs_spread
 
     base = df.select("doc_id", F.col(text_col).alias(text_col))
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    est = estimated_scan_partitions(base)
-    if est is None or est < parallelism:
-        base = base.repartition(parallelism).localCheckpoint()
+    if needs_spread(base):
+        base = base.repartition(
+            df.sparkSession.sparkContext.defaultParallelism).localCheckpoint()
     return base.mapInPandas(sig_batches, schema=schema)
 
 

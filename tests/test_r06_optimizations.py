@@ -181,17 +181,20 @@ def test_spread_small_scan_is_scale_adaptive(spark, tmp_path):
     from mmore_spark.functions.scanspread import (
         estimated_scan_partitions, spread_small_scan)
 
-    rows = [(i, f"word salad doc {i} alpha beta gamma") for i in range(64)]
+    parallelism = spark.sparkContext.defaultParallelism
+    n_files = 2 * parallelism  # strictly wider than the session
+    rows = [(i, f"word salad doc {i} alpha beta gamma")
+            for i in range(4 * n_files)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     single = str(tmp_path / "single.parquet")
     multi = str(tmp_path / "multi.parquet")
     df.coalesce(1).write.parquet(single)
-    df.repartition(16).write.parquet(multi)
+    df.repartition(n_files).write.parquet(multi)
 
     narrow = spark.read.parquet(single)
     wide = spark.read.parquet(multi)
     assert estimated_scan_partitions(narrow) == 1
-    assert estimated_scan_partitions(wide) >= 8  # session parallelism
+    assert estimated_scan_partitions(wide) >= parallelism
     # in-memory frames have no files -> keep the historical spread
     assert estimated_scan_partitions(df) is None
 
@@ -211,15 +214,36 @@ def test_minhash_signatures_equal_on_wide_scan(spark, tmp_path):
     already-wide scan (shuffle-free path)."""
     from mmore_spark.operators import dedup
 
-    rows = [(i, f"alpha beta gamma doc {i} delta epsilon zeta") for i in range(40)]
+    n_files = 2 * spark.sparkContext.defaultParallelism
+    n_docs = 3 * n_files
+    rows = [(i, f"alpha beta gamma doc {i} delta epsilon zeta")
+            for i in range(n_docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     single = str(tmp_path / "s.parquet")
     multi = str(tmp_path / "m.parquet")
     df.coalesce(1).write.parquet(single)
-    df.repartition(16).write.parquet(multi)
+    df.repartition(n_files).write.parquet(multi)
 
     a = sorted(map(tuple, dedup.minhash_band_signatures(
         spark.read.parquet(single)).collect()))
     b = sorted(map(tuple, dedup.minhash_band_signatures(
         spark.read.parquet(multi)).collect()))
-    assert a == b and len(a) == 40 * (dedup.N_PERMUTATIONS // dedup.BAND_ROWS)
+    assert a == b and len(a) == n_docs * (dedup.N_PERMUTATIONS // dedup.BAND_ROWS)
+
+
+def test_scanspread_conf_size_parsing():
+    """Human-readable maxPartitionBytes forms ('256m', '1g') must parse as
+    real byte counts — digit-stripping '256m' to 256 bytes would inflate
+    the split estimate ~10^6x and wrongly classify narrow scans as wide."""
+    from mmore_spark.functions.scanspread import _DEFAULT_SPLIT_BYTES, _parse_bytes
+
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("256m") == 256 * 1024 * 1024
+    assert _parse_bytes("256MB") == 256 * 1024 * 1024
+    assert _parse_bytes("1g") == 1024 ** 3
+    assert _parse_bytes("2k") == 2048
+    assert _parse_bytes("") is None
+    assert _parse_bytes("abc") is None
+    assert _parse_bytes("12parsecs") is None
+    assert _DEFAULT_SPLIT_BYTES == 128 * 1024 * 1024
